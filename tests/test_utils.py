@@ -1,0 +1,118 @@
+"""Utils tests: calculate, wavio, silence, sound, midi, tensor helpers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pytorch_sound_tpu.utils import calculate, silence, sound, wavio
+from pytorch_sound_tpu.utils.tensor import concat_complex, to_device, to_numpy
+
+
+def test_db2log_matches_formula():
+    assert np.isclose(calculate.db2log(-50), np.log(10 ** (-5.0)))
+    assert np.isclose(calculate.db2log(30), np.log(10 ** 3.0))
+
+
+def test_norm_unnorm_mel_roundtrip(rng):
+    mel_min, mel_max = calculate.db2log(-50), calculate.db2log(30)
+    x = rng.uniform(mel_min, mel_max, size=(4, 80, 10)).astype(np.float32)
+    normed = calculate.norm_mel(x)
+    assert normed.min() >= -1 - 1e-6 and normed.max() <= 1 + 1e-6
+    np.testing.assert_allclose(calculate.unnorm_mel(normed), x, rtol=1e-5, atol=1e-5)
+
+
+def test_volume_norm_log(rng):
+    x = rng.standard_normal(1000).astype(np.float32)
+    y = calculate.volume_norm_log(x, target_db=-11.5)
+    assert np.isclose(np.std(y), 10 ** (-1.15), rtol=1e-4)
+
+
+def test_wav_roundtrip(tmp_path, sine_wav):
+    path = os.path.join(tmp_path, 'test.wav')
+    wavio.write_wav(path, sine_wav, 22050)
+    wav, sr = wavio.read_wav(path)
+    assert sr == 22050
+    np.testing.assert_allclose(wav, sine_wav, atol=1e-7)
+
+    # int16 roundtrip with quantization error tolerance
+    wavio.write_wav(path, sine_wav, 22050, dtype='int16')
+    wav, sr = wavio.read_wav(path)
+    np.testing.assert_allclose(wav, sine_wav, atol=1e-4)
+
+
+def test_wav_info_and_duration(tmp_path, sine_wav):
+    path = os.path.join(tmp_path, 'd.wav')
+    wavio.write_wav(path, sine_wav, 22050)
+    sr, n, ch, bits = wavio.read_wav_info(path)
+    assert (sr, n, ch, bits) == (22050, len(sine_wav), 1, 32)
+    assert np.isclose(sound.get_wav_duration(path), 1.5, atol=1e-3)
+    assert sound.get_wav_duration('/nonexistent.wav') == -1
+
+
+def test_resample_length():
+    x = np.zeros(22050, dtype=np.float32)
+    y = wavio.resample(x, 22050, 16000)
+    assert abs(len(y) - 16000) <= 1
+
+
+def test_silence_split():
+    sr = 1000
+    loud = np.sin(np.linspace(0, 100, sr)).astype(np.float32)
+    quiet = np.zeros(sr, dtype=np.float32)
+    seg = np.concatenate([loud, quiet, loud])
+    chunks = silence.split_on_silence(seg, min_silence_len=500,
+                                      silence_thresh=-30, keep_silence=10)
+    assert len(chunks) == 2
+    assert all(len(c) > sr // 2 for c in chunks)
+    # fully loud -> one chunk
+    assert len(silence.split_on_silence(loud, 500, -30, 0)) == 1
+
+
+def test_preemphasis_roundtrip(sine_wav):
+    y = sound.preemphasis(sine_wav)
+    z = sound.inv_preemphasis(y)
+    np.testing.assert_allclose(z, sine_wav, atol=1e-4)
+
+
+def test_get_f0_sine(sine_wav):
+    f0 = sound.get_f0(sine_wav, hop_length=256, sr=22050)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.8 * len(f0)
+    assert abs(np.median(voiced) - 220.0) < 5.0
+
+
+def test_midi_parse_roundtrip(tmp_path):
+    # hand-craft a tiny format-0 midi: note on pitch 60 at t=0, off at 1 beat
+    import struct
+    track = b''
+    track += b'\x00' + bytes([0xFF, 0x51, 0x03]) + (500000).to_bytes(3, 'big')  # tempo 120
+    track += b'\x00' + bytes([0x90, 60, 100])    # note on
+    track += b'\x60' + bytes([0x80, 60, 0])      # note off after 96 ticks (1 beat @ tpb 96)
+    track += b'\x00' + bytes([0xFF, 0x2F, 0x00])  # end of track
+    data = b'MThd' + struct.pack('>IHHH', 6, 0, 1, 96)
+    data += b'MTrk' + struct.pack('>I', len(track)) + track
+    path = os.path.join(tmp_path, 't.mid')
+    with open(path, 'wb') as f:
+        f.write(data)
+
+    mid = sound.parse_midi(path)
+    assert len(mid.notes) == 1
+    n = mid.notes[0]
+    assert n.pitch == 60 and np.isclose(n.end - n.start, 0.5, atol=1e-6)
+    roll = mid.get_piano_roll()
+    assert roll.shape[0] == 128
+    assert (roll[60] == 100).sum() >= 49  # 0.5 s at fs=100
+
+
+def test_to_device_and_back(sine_wav):
+    (d,) = to_device(sine_wav)
+    out = to_numpy(d)
+    np.testing.assert_allclose(out, sine_wav)
+
+
+def test_concat_complex():
+    a = np.arange(8, dtype=np.float32).reshape(1, 4, 2)
+    b = np.arange(8, 16, dtype=np.float32).reshape(1, 4, 2)
+    out = np.asarray(concat_complex(a, b, dim=1))
+    np.testing.assert_array_equal(out[0, :, 0], [0, 2, 8, 10, 4, 6, 12, 14])
