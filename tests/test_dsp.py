@@ -1,0 +1,252 @@
+"""Golden numerical tests for the DSP layer.
+
+Strategy (SURVEY.md §4): torch (CPU) is available in the test environment, so
+STFT/iSTFT are checked directly against torch.stft/torch.istft at settings.py
+defaults; mel/DCT/PQMF are checked against closed-form properties and
+scipy references. torch is a test-only dependency.
+"""
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.fft
+import torch
+
+from pytorch_sound_tpu import settings
+from pytorch_sound_tpu.models import sound as sound_mod
+from pytorch_sound_tpu.models import transforms as T
+from pytorch_sound_tpu.ops import filters, mel as mel_ops, stft as stft_ops
+from pytorch_sound_tpu.ops import sound as sound_ops
+
+N_FFT, HOP, WIN = settings.N_FFT, settings.HOP_LENGTH, settings.WIN_LENGTH
+
+
+@pytest.fixture(scope='module')
+def batch_wav():
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((2, 22050)).astype(np.float32)
+
+
+def torch_stft(x, n_fft=N_FFT, hop=HOP, win=WIN):
+    w = torch.hann_window(win)
+    return torch.stft(torch.from_numpy(x), n_fft, hop, win, w, center=True,
+                      pad_mode='reflect', normalized=False, onesided=True,
+                      return_complex=True)
+
+
+@pytest.mark.parametrize('method', ['fft', 'matmul'])
+def test_stft_matches_torch(batch_wav, method):
+    ref = torch_stft(batch_wav)
+    real, imag = stft_ops.stft(jnp.asarray(batch_wav), N_FFT, HOP, WIN, method=method)
+    np.testing.assert_allclose(np.asarray(real), ref.real.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(imag), ref.imag.numpy(), atol=2e-4)
+
+
+@pytest.mark.parametrize('method', ['fft', 'matmul'])
+def test_istft_matches_torch(batch_wav, method):
+    ref = torch_stft(batch_wav)
+    y_t = torch.istft(ref, N_FFT, HOP, WIN, torch.hann_window(WIN),
+                      length=batch_wav.shape[-1]).numpy()
+    real = jnp.asarray(ref.real.numpy())
+    imag = jnp.asarray(ref.imag.numpy())
+    y = np.asarray(stft_ops.istft(real, imag, N_FFT, HOP, WIN,
+                                  length=batch_wav.shape[-1], method=method))
+    np.testing.assert_allclose(y, y_t, atol=1e-4)
+
+
+def test_conv_stft_roundtrip(batch_wav):
+    st = T.STFT(filter_length=WIN, hop_length=HOP)
+    mag, phase = st.transform(jnp.asarray(batch_wav))
+    assert mag.shape[1] == N_FFT // 2 + 1
+    rec = np.asarray(st.inverse(mag, phase))
+    n = rec.shape[-1]
+    np.testing.assert_allclose(rec, batch_wav[:, :n], atol=1e-4)
+
+
+def test_conv_stft_magnitude_matches_torch(batch_wav):
+    ref = torch_stft(batch_wav).abs().numpy()
+    mag, _ = T.STFT(filter_length=WIN, hop_length=HOP).transform(jnp.asarray(batch_wav))
+    np.testing.assert_allclose(np.asarray(mag), ref, atol=2e-4)
+
+
+def test_mel_filterbank_properties():
+    fb = filters.mel_filterbank(settings.SAMPLE_RATE, N_FFT, settings.MEL_SIZE,
+                                settings.MEL_MIN, settings.MEL_MAX)
+    assert fb.shape == (80, 513)
+    assert (fb >= 0).all()
+    # every filter is nonzero and unimodal (triangle)
+    assert (fb.sum(axis=1) > 0).all()
+    peaks = fb.argmax(axis=1)
+    assert (np.diff(peaks) > 0).all()
+    # slaney normalization: area of each filter ~ 2 / bandwidth * (triangle area)
+    # -> row sums near the fft bin density ratio; just check magnitudes are sane
+    assert fb.max() < 0.1
+    # filters cover only up to fmax
+    fftfreqs = np.linspace(0, settings.SAMPLE_RATE / 2, 513)
+    assert fb[:, fftfreqs > settings.MEL_MAX + 100].sum() == 0
+
+
+def test_mel_filterbank_slaney_closed_form():
+    """Check individual weights against the Slaney triangle formula computed
+    point-wise (independent of the vectorized construction)."""
+    sr, n_fft, n_mels, fmin, fmax = 22050, 1024, 80, 0.0, 8000.0
+    fb = filters.mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+
+    def hz2mel(f):
+        return f / (200. / 3.) if f < 1000 else 15. + np.log(f / 1000.) / (np.log(6.4) / 27.)
+
+    def mel2hz(m):
+        return m * (200. / 3.) if m < 15 else 1000. * np.exp((np.log(6.4) / 27.) * (m - 15.))
+
+    mel_pts = [mel2hz(m) for m in np.linspace(hz2mel(fmin), hz2mel(fmax), n_mels + 2)]
+    fftfreqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    for i in [0, 1, 40, 79]:
+        lo, ctr, hi = mel_pts[i], mel_pts[i + 1], mel_pts[i + 2]
+        enorm = 2.0 / (hi - lo)
+        for k in [1, 50, 150, 370]:
+            f = fftfreqs[k]
+            tri = max(0.0, min((f - lo) / (ctr - lo), (hi - f) / (hi - ctr)))
+            assert np.isclose(fb[i, k], tri * enorm, atol=1e-10)
+
+
+def test_log_mel_spectrogram_formula(batch_wav):
+    mel = np.asarray(T.LogMelSpectrogram(
+        settings.SAMPLE_RATE, settings.MEL_SIZE, N_FFT, WIN, HOP,
+        settings.MIN_DB, settings.MAX_DB, settings.MEL_MIN, settings.MEL_MAX,
+    )(jnp.asarray(batch_wav)))
+    assert mel.shape == (2, 80, 87)
+    lo, hi = mel_ops.db_to_log(settings.MIN_DB), mel_ops.db_to_log(settings.MAX_DB)
+    assert mel.min() >= lo - 1e-6 and mel.max() <= hi + 1e-6
+
+    # manual recomputation: |STFT| -> mel -> log -> clamp
+    ref_mag = torch_stft(batch_wav).abs().numpy()
+    fb = filters.mel_filterbank(settings.SAMPLE_RATE, N_FFT, 80, 0, 8000)
+    ref = np.log(fb @ ref_mag + 1e-6).clip(lo, hi)
+    np.testing.assert_allclose(mel, ref, atol=1e-3)
+
+
+def test_hifigan_mel_against_reference_formula(batch_wav):
+    """Recompute the HiFi-GAN mel frontend with torch ops exactly as
+    interface/hifi_gan.py:46-63 does and compare."""
+    x = torch.from_numpy(batch_wav)
+    pad = (N_FFT - HOP) // 2
+    xp = torch.nn.functional.pad(x.unsqueeze(1), [pad, pad], mode='reflect').squeeze(1)
+    spec = torch.stft(xp, N_FFT, hop_length=HOP, win_length=WIN,
+                      window=torch.hann_window(WIN), center=False,
+                      normalized=False, onesided=True, return_complex=True)
+    mag = torch.sqrt(spec.real ** 2 + spec.imag ** 2 + 1e-9)
+    fb = torch.from_numpy(filters.mel_filterbank(22050, N_FFT, 80, 0., 8000.)).float()
+    ref = torch.log(torch.clamp(fb @ mag, min=1e-5)).numpy()
+
+    mel = np.asarray(mel_ops.hifigan_mel_spectrogram(jnp.asarray(batch_wav)))
+    assert mel.shape == ref.shape
+    np.testing.assert_allclose(mel, ref, atol=2e-3)
+
+
+def test_dct_matches_scipy():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((80, 5)).astype(np.float32)
+    d = filters.dct_matrix(40, 80, 'ortho')
+    ref = scipy.fft.dct(x, axis=0, norm='ortho')[:40]
+    np.testing.assert_allclose(d @ x, ref, atol=1e-5)
+
+
+def test_mfcc_shapes(batch_wav):
+    out = T.MFCC(settings.SAMPLE_RATE, settings.MEL_SIZE, N_FFT, WIN,
+                 settings.MFCC_SIZE, HOP, settings.MIN_DB, settings.MAX_DB,
+                 settings.MEL_MIN, settings.MEL_MAX)(jnp.asarray(batch_wav)[:, None, :])
+    assert out.shape == (2, 1, settings.MFCC_SIZE, 87)
+
+
+def test_pqmf_matches_torch_reference_pipeline():
+    """Golden test: rebuild the reference's exact conv pipeline
+    (`transforms.py:536-560`) with torch ops and compare band/reconstruction
+    outputs; then sanity-check reconstruction quality on a clean tone."""
+    import torch.nn.functional as F
+    h_a, h_s = filters.pqmf_banks(4, 62, 0.15, 9.0)
+    ta = torch.from_numpy(h_a).float().unsqueeze(1)
+    ts = torch.from_numpy(h_s).float().unsqueeze(0)
+    updown = torch.zeros((4, 4, 4))
+    for k in range(4):
+        updown[k, k, 0] = 1.
+    pad = torch.nn.ConstantPad1d(31, 0.)
+
+    sr = 22050
+    t = np.arange(22000) / sr
+    sig = sum(np.sin(2 * np.pi * f * t) for f in (220., 880., 3000.)).astype(np.float32)
+    x_t = torch.from_numpy(sig)[None, None]
+    bands_t = F.conv1d(F.conv1d(pad(x_t), ta), updown, stride=4)
+    rec_t = F.conv1d(pad(F.conv_transpose1d(bands_t, updown * 4, stride=4)), ts)
+
+    pq = T.PQMF(subbands=4)
+    bands = pq.analysis(jnp.asarray(sig)[None, None, :])
+    assert bands.shape == (1, 4, 5500)
+    np.testing.assert_allclose(np.asarray(bands), bands_t.numpy(), atol=1e-5)
+    rec = pq.synthesis(bands)
+    np.testing.assert_allclose(np.asarray(rec), rec_t.numpy(), atol=1e-5)
+
+    # NPR quality: high correlation with the (1-sample-delayed) input; the
+    # 3000 Hz component near the 2756 Hz band edge bounds this below 0.999
+    r = np.asarray(rec)[0, 0]
+    corr = np.corrcoef(r[1:20001], sig[:20000])[0, 1]
+    assert corr > 0.98
+
+
+def test_preemphasis_pair(batch_wav):
+    x = jnp.asarray(batch_wav)[:, None, :]
+    pre = sound_mod.PreEmphasis()(x)
+    assert pre.shape == x.shape
+    # torch reference: conv with reflect pad
+    tx = torch.from_numpy(batch_wav).unsqueeze(1)
+    filt = torch.tensor([[[-0.97, 1.0]]])
+    ref = torch.nn.functional.conv1d(
+        torch.nn.functional.pad(tx, (1, 0), 'reflect'), filt).numpy()
+    np.testing.assert_allclose(np.asarray(pre), ref, atol=1e-6)
+
+    # inverse starts from zero state, so the boundary transient decays as
+    # 0.97^t (same as the reference's RNN implementation) — skip it
+    rec = sound_mod.InversePreEmphasis()(pre)
+    np.testing.assert_allclose(np.asarray(rec)[..., 400:],
+                               batch_wav[:, None, 400:], atol=1e-3)
+
+
+def test_vol_norm_conv_roundtrip(batch_wav):
+    vn = sound_mod.VolNormConv(window_size=1024, hop_size=256, target_db=-11.5)
+    normed = vn.forward(jnp.asarray(batch_wav))
+    rec = np.asarray(vn.reverse(normed))
+    n = rec.shape[-1]
+    np.testing.assert_allclose(rec, batch_wav[:, :n], atol=1e-4)
+
+
+def test_multi_stft_loss_zero_for_identical(batch_wav):
+    x = jnp.asarray(batch_wav)
+    params = [(1024, 1024, 256), (512, 512, 128)]
+    total, sc, mag = sound_ops.multi_stft_loss(x, x, params)
+    assert float(total) < 1e-5
+    y = x + 0.1 * jnp.sin(jnp.arange(x.shape[-1]) * 0.01)
+    total2, sc2, mag2 = sound_ops.multi_stft_loss(y, x, params)
+    assert float(total2) > float(total)
+    assert np.isclose(float(total2), float(sc2) + float(mag2), atol=1e-6)
+
+
+def test_spectrogram_masker():
+    mask = jnp.ones((2, 2560))
+    out = np.asarray(T.SpectrogramMasker(WIN, HOP)(mask))
+    assert out.shape == (2, 2560 // HOP + 1)
+    assert (out == 1.0).all()
+    mask = jnp.concatenate([jnp.ones((1, 1280)), jnp.zeros((1, 1280))], axis=1)
+    out = np.asarray(T.SpectrogramMasker(WIN, HOP)(mask))
+    assert out[0, 0] == 1.0 and out[0, -1] == 0.0
+
+
+def test_stft_jit_and_vmap(batch_wav):
+    f = jax.jit(lambda w: stft_ops.spectrogram_magnitude(w, N_FFT, HOP, WIN))
+    out = f(jnp.asarray(batch_wav))
+    assert out.shape == (2, 513, 87)
+    vm = jax.vmap(lambda w: stft_ops.spectrogram_magnitude(w, N_FFT, HOP, WIN))
+    out2 = vm(jnp.asarray(batch_wav))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
