@@ -1,0 +1,243 @@
+"""HiFi-GAN generator (arXiv 2010.05646) as a flax module.
+
+Parity target: `/root/reference/pytorch_sound/models/vocoders/hifi_gan.py` —
+same architecture registry names (hifi_gan_v1/v2/v3), same conv geometry
+(conv_pre k7 -> per-stage [leaky_relu 0.1, ConvTranspose upsample, mean of
+multi-kernel ResBlocks] -> leaky_relu(0.01) -> conv_post k7 -> tanh), and
+torch-layout parameters (weight (C_out, C_in, K) / transpose (C_in, C_out, K))
+so converted torch checkpoints map 1:1.
+
+Weight normalization: ``use_weight_norm=True`` stores (g, v) pairs exactly like
+torch's weight_norm (norm over all dims but 0); ``False`` stores folded plain
+weights — the inference configuration after the reference's
+``remove_weight_norm()``. ``fold_weight_norm_params`` converts the former into
+the latter.
+
+TPU notes: convs run through lax.conv_general_dilated on static shapes; the
+dilated ResBlock stacks are the Pallas dilated-conv kernel target (SURVEY.md
+§3.3 HOT LOOP #4).
+"""
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pytorch_sound_tpu.models import register_model, register_model_architecture
+from pytorch_sound_tpu.ops.nn import conv1d, conv_transpose1d
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+def _normal_init(std: float = 0.01):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+class WNConv1d(nn.Module):
+    """Conv1d with optional torch-style weight normalization (dim=0)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    padding: int = 0
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shape = (self.out_channels, self.in_channels, self.kernel_size)
+        if self.use_weight_norm:
+            v = self.param('v', _normal_init(), shape)
+            g = self.param('g', lambda key, s: jnp.linalg.norm(
+                v.reshape(self.out_channels, -1), axis=1).reshape(s), (self.out_channels, 1, 1))
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2), keepdims=True) + 1e-12)
+            weight = g * v / norm
+        else:
+            weight = self.param('weight', _normal_init(), shape)
+        bias = self.param('bias', nn.initializers.zeros, (self.out_channels,))
+        return conv1d(x, weight, bias, stride=self.stride,
+                      padding=self.padding, dilation=self.dilation)
+
+
+class WNConvTranspose1d(nn.Module):
+    """ConvTranspose1d with optional torch-style weight normalization.
+
+    Parameter layout (C_in, C_out, K) and norm over dims (1, 2), as torch.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shape = (self.in_channels, self.out_channels, self.kernel_size)
+        if self.use_weight_norm:
+            v = self.param('v', _normal_init(), shape)
+            g = self.param('g', lambda key, s: jnp.linalg.norm(
+                v.reshape(self.in_channels, -1), axis=1).reshape(s), (self.in_channels, 1, 1))
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2), keepdims=True) + 1e-12)
+            weight = g * v / norm
+        else:
+            weight = self.param('weight', _normal_init(), shape)
+        bias = self.param('bias', nn.initializers.zeros, (self.out_channels,))
+        return conv_transpose1d(x, weight, bias, stride=self.stride,
+                                padding=self.padding)
+
+
+class ResBlock1(nn.Module):
+    """Two 3-conv stacks with dilations (reference `hifi_gan.py:32-69`)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3, 5)
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for j, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, 0.1)
+            xt = WNConv1d(self.channels, self.channels, self.kernel_size,
+                          dilation=d, padding=get_padding(self.kernel_size, d),
+                          use_weight_norm=self.use_weight_norm,
+                          name='convs1_%d' % j)(xt)
+            xt = nn.leaky_relu(xt, 0.1)
+            xt = WNConv1d(self.channels, self.channels, self.kernel_size,
+                          dilation=1, padding=get_padding(self.kernel_size, 1),
+                          use_weight_norm=self.use_weight_norm,
+                          name='convs2_%d' % j)(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock2(nn.Module):
+    """Two single dilated convs (reference `hifi_gan.py:72-93`)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3)
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for j, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, 0.1)
+            xt = WNConv1d(self.channels, self.channels, self.kernel_size,
+                          dilation=d, padding=get_padding(self.kernel_size, d),
+                          use_weight_norm=self.use_weight_norm,
+                          name='convs_%d' % j)(xt)
+            x = xt + x
+        return x
+
+
+@register_model('hifi_gan')
+class Generator(nn.Module):
+    """mel (N, 80, T) -> wav (N, 1, T * prod(upsample_rates))."""
+
+    resblock: str = '1'
+    upsample_rates: Sequence[int] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    in_channels: int = 80
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        num_kernels = len(self.resblock_kernel_sizes)
+        res_cls = ResBlock1 if self.resblock == '1' else ResBlock2
+
+        x = WNConv1d(self.in_channels, self.upsample_initial_channel, 7,
+                     padding=3, use_weight_norm=self.use_weight_norm,
+                     name='conv_pre')(x)
+        ch = self.upsample_initial_channel
+        for i, (u, k) in enumerate(zip(self.upsample_rates,
+                                       self.upsample_kernel_sizes)):
+            x = nn.leaky_relu(x, 0.1)
+            x = WNConvTranspose1d(ch, ch // 2, k, u, padding=(k - u) // 2,
+                                  use_weight_norm=self.use_weight_norm,
+                                  name='ups_%d' % i)(x)
+            ch //= 2
+            xs = None
+            for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
+                                             self.resblock_dilation_sizes)):
+                block = res_cls(ch, rk, tuple(rd),
+                                use_weight_norm=self.use_weight_norm,
+                                name='resblocks_%d' % (i * num_kernels + j))
+                xs = block(x) if xs is None else xs + block(x)
+            x = xs / num_kernels
+        x = nn.leaky_relu(x)             # default 0.01 slope, as the reference
+        x = WNConv1d(ch, 1, 7, padding=3, use_weight_norm=self.use_weight_norm,
+                     name='conv_post')(x)
+        return jnp.tanh(x)
+
+
+def fold_weight_norm_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold every (g, v) weight-norm pair into a plain 'weight' — the
+    functional equivalent of the reference's ``remove_weight_norm()``."""
+    def fold(node):
+        if isinstance(node, dict):
+            if 'g' in node and 'v' in node:
+                v = node['v']
+                axes = tuple(range(1, v.ndim))
+                norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True) + 1e-12)
+                out = {k: fold(val) for k, val in node.items() if k not in ('g', 'v')}
+                out['weight'] = node['g'] * v / norm
+                return out
+            return {k: fold(v) for k, v in node.items()}
+        return node
+    return fold(params)
+
+
+#
+# Architectures (quality/memory claims from the HiFi-GAN paper — see
+# reference `hifi_gan.py:150-208`): v1 ~14M params / MOS 4.3; v2 ~0.9M params
+# ("3.6MB, super fast"); v3 uses ResBlock2 at 256 upsampling.
+#
+@register_model_architecture('hifi_gan', 'hifi_gan_v1')
+def hifi_gan_v1():
+    return {
+        'resblock': '1',
+        'upsample_rates': (8, 8, 2, 2),
+        'upsample_kernel_sizes': (16, 16, 4, 4),
+        'upsample_initial_channel': 512,
+        'resblock_kernel_sizes': (3, 7, 11),
+        'resblock_dilation_sizes': ((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+        'use_weight_norm': True,
+    }
+
+
+@register_model_architecture('hifi_gan', 'hifi_gan_v2')
+def hifi_gan_v2():
+    return {
+        'resblock': '1',
+        'upsample_rates': (8, 8, 2, 2),
+        'upsample_kernel_sizes': (16, 16, 4, 4),
+        'upsample_initial_channel': 128,
+        'resblock_kernel_sizes': (3, 7, 11),
+        'resblock_dilation_sizes': ((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+        'use_weight_norm': True,
+    }
+
+
+@register_model_architecture('hifi_gan', 'hifi_gan_v3')
+def hifi_gan_v3():
+    return {
+        'resblock': '2',
+        'upsample_rates': (8, 8, 4),
+        'upsample_kernel_sizes': (16, 16, 8),
+        'upsample_initial_channel': 256,
+        'resblock_kernel_sizes': (3, 5, 7),
+        'resblock_dilation_sizes': ((1, 2), (2, 6), (3, 12)),
+        'use_weight_norm': True,
+    }

@@ -1,0 +1,107 @@
+"""HiFi-GAN vocoder + interface tests, incl. golden comparison against the
+reference torch implementation with the bundled pretrained checkpoint."""
+
+import os
+import sys
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_sound_tpu.models import build_model
+from pytorch_sound_tpu.models.vocoders.hifi_gan import (Generator,
+                                                        fold_weight_norm_params)
+from pytorch_sound_tpu.interface.hifi_gan import (CHECKPOINTS, AudioParameters,
+                                                  InterfaceHifiGAN, MelSpectrogram)
+
+V2_MSGPACK = CHECKPOINTS['hifi_gan_v2']
+REF_PT = '/root/reference/assets/vocoders/hifi_gan_v2.pt'
+
+
+def test_generator_shapes_and_upsampling():
+    gen = build_model('hifi_gan_v2')
+    mel = jnp.zeros((2, 80, 13))
+    params = gen.init(jax.random.PRNGKey(0), mel)
+    out = gen.apply(params, mel)
+    assert out.shape == (2, 1, 13 * 256)   # 8*8*2*2 = 256x upsampling
+    assert np.abs(np.asarray(out)).max() <= 1.0
+
+
+def test_generator_v3_resblock2():
+    gen = build_model('hifi_gan_v3')
+    mel = jnp.zeros((1, 80, 8))
+    params = gen.init(jax.random.PRNGKey(0), mel)
+    out = gen.apply(params, mel)
+    assert out.shape == (1, 1, 8 * 256)    # 8*8*4
+
+
+def test_fold_weight_norm_equivalence():
+    gen_wn = build_model('hifi_gan_v2')
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((1, 80, 9)),
+                      dtype=jnp.float32)
+    params = gen_wn.init(jax.random.PRNGKey(1), mel)
+    out_wn = gen_wn.apply(params, mel)
+
+    folded = fold_weight_norm_params(params)
+    gen_plain = build_model('hifi_gan_v2', extra_kwargs={'use_weight_norm': False})
+    out_plain = gen_plain.apply(folded, mel)
+    np.testing.assert_allclose(np.asarray(out_wn), np.asarray(out_plain), atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(V2_MSGPACK),
+                    reason='bundled v2 checkpoint not converted')
+def test_interface_encode_decode_contract():
+    iface = InterfaceHifiGAN('hifi_gan_v2')
+    sr = AudioParameters.sampling_rate
+    t = np.arange(sr) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+
+    mel = iface.encode(wav)
+    assert mel.shape[0:2] == (1, 80)
+    pad = (AudioParameters.n_fft - AudioParameters.hop_size) // 2
+    expected_frames = (sr + 2 * pad - AudioParameters.n_fft) // AudioParameters.hop_size + 1
+    assert mel.shape[2] == expected_frames
+
+    out = iface.decode(mel)
+    assert out.ndim == 3 and out.shape[1] == 1
+    assert out.shape[2] == mel.shape[2] * 256
+    # decoded audio resembles a periodic signal, not silence/noise
+    assert 0.01 < np.abs(np.asarray(out)).max() <= 1.0
+
+    with pytest.raises(AssertionError):
+        iface.encode(wav[0])          # 1D input rejected
+    with pytest.raises(AssertionError):
+        iface.decode(mel[0])          # 2D input rejected
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PT), reason='reference checkpoint absent')
+def test_generator_matches_torch_reference_golden():
+    """The strongest parity test: identical outputs vs the reference torch
+    Generator loaded with the real bundled checkpoint."""
+    torch = pytest.importorskip('torch')
+    sys.path.insert(0, '/root/reference')
+    try:
+        from pytorch_sound.models import build_model as torch_build
+        import pytorch_sound.models.vocoders.hifi_gan  # noqa: F401
+    finally:
+        sys.path.pop(0)
+
+    tgen = torch_build('hifi_gan_v2')
+    sd = torch.load(REF_PT, map_location='cpu')['generator']
+    tgen.load_state_dict(sd)
+    tgen.remove_weight_norm()
+    tgen.eval()
+
+    rng = np.random.default_rng(0)
+    mel = (rng.standard_normal((1, 80, 37)).astype(np.float32) * 2 - 4)
+    with torch.no_grad():
+        out_t = tgen(torch.from_numpy(mel)).numpy()
+
+    iface = InterfaceHifiGAN('hifi_gan_v2')
+    out_j = np.asarray(iface.decode(mel))
+    assert out_j.shape == out_t.shape
+    np.testing.assert_allclose(out_j, out_t, atol=2e-5)
