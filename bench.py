@@ -1,0 +1,143 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: HiFi-GAN v2 vocoder samples/sec (mel -> wav with the bundled
+pretrained checkpoint, batched streaming decode). The reference's only
+published speed claim is 2.5x realtime on a Ryzen 3900 CPU
+(`/root/reference/pytorch_sound/models/vocoders/hifi_gan.py:155`), i.e.
+2.5 * 22050 = 55125 samples/sec — that is the vs_baseline denominator.
+
+Secondary metrics (preprocess utterances/sec/chip, trainer steps/sec on the
+VoiceBank enhancement config) are measured too and written to
+BENCH_DETAILS.json; stdout carries exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, warmup: int = 2, iters: int = 10) -> float:
+    """Median wall time of fn() after warmup; fn must block until ready."""
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_vocoder(batch: int = 8, frames: int = 256):
+    """Steady-state mel->wav throughput with the pretrained v2 generator."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_sound_tpu.interface.hifi_gan import InterfaceHifiGAN
+
+    iface = InterfaceHifiGAN('hifi_gan_v2')
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((batch, 80, frames)).astype(np.float32) * 2 - 4)
+
+    def step():
+        iface.decode(mel).block_until_ready()
+
+    dt = _timeit(step)
+    samples = batch * frames * 256
+    return samples / dt
+
+
+def bench_preprocess(batch: int = 16, seconds: float = 4.0):
+    """On-device STFT+mel feature extraction throughput (utterances/sec/chip)
+    at settings.py defaults over `seconds`-long utterances."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_sound_tpu import settings
+    from pytorch_sound_tpu.ops import mel as mel_ops
+
+    n = int(settings.SAMPLE_RATE * seconds)
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32) * 0.1)
+
+    fn = jax.jit(lambda w: mel_ops.log_mel_spectrogram(
+        w, settings.SAMPLE_RATE, settings.MEL_SIZE, settings.N_FFT,
+        settings.WIN_LENGTH, settings.HOP_LENGTH,
+        settings.MIN_DB, settings.MAX_DB, settings.MEL_MIN, settings.MEL_MAX))
+
+    def step():
+        fn(wav).block_until_ready()
+
+    dt = _timeit(step)
+    return batch / dt
+
+
+def bench_trainer(batch: int = 8, fix_len: int = 16384, iters: int = 10):
+    """VoiceBank enhancement trainer steps/sec (jitted step, steady state)."""
+    import jax
+    import optax
+    from pytorch_sound_tpu.examples.voice_bank import VoiceBankTrainer
+    from pytorch_sound_tpu.models import build_model
+    import pytorch_sound_tpu.models.enhancement  # noqa: F401
+    import tempfile
+
+    rng = np.random.default_rng(2)
+    noisy = rng.standard_normal((batch, fix_len)).astype(np.float32)
+    clean = noisy - 0.1 * rng.standard_normal((batch, fix_len)).astype(np.float32)
+    batch_data = [noisy, clean, np.zeros(batch, np.int64), np.zeros((batch, 8), np.int64)]
+
+    trainer = VoiceBankTrainer(
+        build_model('spec_masker_base'), optax.adam(2e-4), None, None,
+        max_step=1, valid_max_step=1, save_interval=10 ** 9, log_interval=10 ** 9,
+        save_dir=tempfile.mkdtemp(prefix='bench_'), save_prefix='bench', seed=0)
+
+    device_batch = [jax.device_put(x) for x in batch_data]
+    trainer._ensure_initialized(device_batch)
+    step_fn = trainer._get_train_step()
+
+    # functional state threading outside the Trainer loop for pure step timing
+    state = {'params': trainer.params, 'opt': trainer.opt_state}
+
+    def step():
+        state['params'], state['opt'], loss, _ = step_fn(
+            state['params'], state['opt'], device_batch, is_logging=False)
+        jax.block_until_ready(state['params'])
+
+    dt = _timeit(step, warmup=3, iters=iters)
+    return 1.0 / dt
+
+
+def main():
+    details = {}
+    try:
+        details['vocoder_samples_per_sec'] = bench_vocoder()
+    except Exception as e:   # keep the one-line contract even on failure
+        details['vocoder_error'] = repr(e)
+    try:
+        details['preprocess_utterances_per_sec'] = bench_preprocess()
+    except Exception as e:
+        details['preprocess_error'] = repr(e)
+    try:
+        details['trainer_steps_per_sec'] = bench_trainer()
+    except Exception as e:
+        details['trainer_error'] = repr(e)
+
+    import jax
+    details['backend'] = jax.default_backend()
+    details['device'] = str(jax.devices()[0])
+
+    with open('BENCH_DETAILS.json', 'w') as w:
+        json.dump(details, w, indent=2)
+
+    baseline = 2.5 * 22050   # reference claim: 2.5x realtime on CPU
+    value = details.get('vocoder_samples_per_sec', 0.0)
+    print(json.dumps({
+        'metric': 'vocoder_samples_per_sec',
+        'value': round(value, 1),
+        'unit': 'samples/sec',
+        'vs_baseline': round(value / baseline, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -27,14 +27,14 @@ from pytorch_sound_tpu.ops import stft as stft_ops
 @functools.lru_cache(maxsize=32)
 def cached_mel_filter(sample_rate: int, n_fft: int, n_mels: int,
                       fmin: float, fmax: Optional[float]) -> jnp.ndarray:
-    return jnp.asarray(
+    return np.asarray(
         filters.mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax),
-        dtype=jnp.float32)
+        dtype=np.float32)
 
 
 @functools.lru_cache(maxsize=8)
 def cached_dct(n_mfcc: int, n_mels: int, norm: str = 'ortho') -> jnp.ndarray:
-    return jnp.asarray(filters.dct_matrix(n_mfcc, n_mels, norm), dtype=jnp.float32)
+    return np.asarray(filters.dct_matrix(n_mfcc, n_mels, norm), dtype=np.float32)
 
 
 def db_to_log(db: float) -> float:

@@ -9,6 +9,7 @@ import functools
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from pytorch_sound_tpu.ops import filters
 from pytorch_sound_tpu.ops.nn import conv1d
@@ -18,8 +19,8 @@ from pytorch_sound_tpu.ops.nn import conv1d
 def _cached_banks(subbands: int, taps: int, cutoff_ratio: float,
                   beta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     h_a, h_s = filters.pqmf_banks(subbands, taps, cutoff_ratio, beta)
-    analysis = jnp.asarray(h_a[:, None, :], dtype=jnp.float32)      # (S, 1, K)
-    synthesis = jnp.asarray(h_s[None, :, :], dtype=jnp.float32)     # (1, S, K)
+    analysis = np.asarray(h_a[:, None, :], dtype=np.float32)      # (S, 1, K)
+    synthesis = np.asarray(h_s[None, :, :], dtype=np.float32)     # (1, S, K)
     return analysis, synthesis
 
 

@@ -68,7 +68,7 @@ def overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def _cached_stft_basis(n_fft: int, win_length: int, window: str):
-    return jnp.asarray(filters.stft_basis(n_fft, win_length, window), dtype=jnp.float32)
+    return np.asarray(filters.stft_basis(n_fft, win_length, window), dtype=np.float32)
 
 
 @functools.lru_cache(maxsize=32)
@@ -76,7 +76,7 @@ def _cached_window(n_fft: int, win_length: int, window: str):
     if window != 'hann':
         raise NotImplementedError('only hann windows are supported')
     win = filters.pad_center(filters.hann_window(win_length), n_fft)
-    return jnp.asarray(win, dtype=jnp.float32)
+    return np.asarray(win, dtype=np.float32)
 
 
 def stft(x: jnp.ndarray, n_fft: int, hop_length: int,
@@ -139,8 +139,8 @@ def _cached_irdft_basis(n_fft: int):
     basis = filters.dft_basis(n_fft)          # [cos; -sin] rows, (2*cutoff, n_fft)
     w = np.full((cutoff, 1), 2.0 / n_fft)
     w[0] = w[-1] = 1.0 / n_fft
-    cos_b = jnp.asarray(basis[:cutoff] * w, dtype=jnp.float32)
-    msin_b = jnp.asarray(basis[cutoff:] * w, dtype=jnp.float32)
+    cos_b = np.asarray(basis[:cutoff] * w, dtype=np.float32)
+    msin_b = np.asarray(basis[cutoff:] * w, dtype=np.float32)
     return cos_b, msin_b
 
 
@@ -218,14 +218,14 @@ def conv_stft(x: jnp.ndarray, filter_length: int = 1024, hop_length: int = 512,
 
 @functools.lru_cache(maxsize=16)
 def _cached_istft_pinv_basis(n_fft: int, hop_length: int, win_length: int, window: str):
-    return jnp.asarray(filters.istft_pinv_basis(n_fft, hop_length, win_length, window),
-                       dtype=jnp.float32)
+    return np.asarray(filters.istft_pinv_basis(n_fft, hop_length, win_length, window),
+                      dtype=np.float32)
 
 
 @functools.lru_cache(maxsize=16)
 def _cached_square_window(n_fft: int, win_length: int, window: str):
     win = filters.pad_center(filters.hann_window(win_length), n_fft)
-    return jnp.asarray(win * win, dtype=jnp.float32)
+    return np.asarray(win * win, dtype=np.float32)
 
 
 def conv_istft(magnitude: jnp.ndarray, phase: jnp.ndarray,
