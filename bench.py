@@ -48,22 +48,30 @@ def bench_vocoder(batch: int = 8, frames: int = 256):
     return samples / dt
 
 
-def bench_preprocess(batch: int = 16, seconds: float = 4.0):
+def bench_preprocess(batch: int = 16, seconds: float = 4.0, fused: bool = True):
     """On-device STFT+mel feature extraction throughput (utterances/sec/chip)
-    at settings.py defaults over `seconds`-long utterances."""
+    at settings.py defaults over `seconds`-long utterances.
+
+    ``fused=True`` uses the Pallas fused frame+DFT+mel kernel (the north-star
+    path); False measures the XLA composite for comparison.
+    """
     import jax
     import jax.numpy as jnp
     from pytorch_sound_tpu import settings
     from pytorch_sound_tpu.ops import mel as mel_ops
+    from pytorch_sound_tpu.ops.pallas.logmel import fused_log_mel
 
     n = int(settings.SAMPLE_RATE * seconds)
     rng = np.random.default_rng(1)
     wav = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32) * 0.1)
 
-    fn = jax.jit(lambda w: mel_ops.log_mel_spectrogram(
-        w, settings.SAMPLE_RATE, settings.MEL_SIZE, settings.N_FFT,
-        settings.WIN_LENGTH, settings.HOP_LENGTH,
-        settings.MIN_DB, settings.MAX_DB, settings.MEL_MIN, settings.MEL_MAX))
+    args = (settings.SAMPLE_RATE, settings.MEL_SIZE, settings.N_FFT,
+            settings.WIN_LENGTH, settings.HOP_LENGTH,
+            settings.MIN_DB, settings.MAX_DB, settings.MEL_MIN, settings.MEL_MAX)
+    if fused and jax.default_backend() == 'tpu':
+        fn = jax.jit(lambda w: fused_log_mel(w, *args))
+    else:
+        fn = jax.jit(lambda w: mel_ops.log_mel_spectrogram(w, *args))
 
     def step():
         fn(wav).block_until_ready()
@@ -114,7 +122,8 @@ def main():
     except Exception as e:   # keep the one-line contract even on failure
         details['vocoder_error'] = repr(e)
     try:
-        details['preprocess_utterances_per_sec'] = bench_preprocess()
+        details['preprocess_utterances_per_sec'] = bench_preprocess(fused=True)
+        details['preprocess_utterances_per_sec_xla'] = bench_preprocess(fused=False)
     except Exception as e:
         details['preprocess_error'] = repr(e)
     try:

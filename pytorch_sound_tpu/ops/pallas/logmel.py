@@ -1,0 +1,178 @@
+"""Fused frame + windowed-DFT + |.| + mel + log Pallas kernel.
+
+The BASELINE north-star kernel: the whole log-mel frontend in ONE pass through
+VMEM — the 513-bin spectrogram never exists in HBM. Per grid program:
+
+    DMA wav span (HBM -> VMEM scratch)
+      -> build 32 overlapping frames via 4 shifted reshapes (no gather)
+      -> frames @ cos/sin windowed-DFT bases  (MXU)
+      -> magnitude (VPU)
+      -> mag @ mel filterbank                 (MXU)
+      -> log + clamp                          (VPU)
+
+Numerics match `ops.mel.log_mel_spectrogram` (reference LogMelSpectrogram,
+`/root/reference/pytorch_sound/models/transforms.py:206-244`): centered reflect
+pad, hann window, slaney mel, log(mel + 1e-6), db->log clamping.
+
+Layout notes: DFT bases are (n_fft, F_pad) with F_pad = 513 rounded up to a
+lane multiple (640); mel filter is (F_pad, 128) with mels padded 80 -> 128.
+Padded columns contribute exact zeros through both matmuls and are sliced off
+by the host-side wrapper.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_sound_tpu.ops import filters
+from pytorch_sound_tpu.ops.mel import db_to_log
+
+LANE = 128
+TILE_FRAMES = 32
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.lru_cache(maxsize=8)
+def _constants(sample_rate: int, n_fft: int, win_length: int, n_mels: int,
+               fmin: float, fmax: Optional[float]):
+    """(cos_basis (n_fft, F_pad), sin_basis (n_fft, F_pad), mel (F_pad, M_pad))."""
+    cutoff = n_fft // 2 + 1
+    f_pad = _round_up(cutoff, LANE)
+    m_pad = _round_up(n_mels, LANE)
+
+    basis = filters.stft_basis(n_fft, win_length, 'hann')   # (2*cutoff, n_fft)
+    cos_b = np.zeros((n_fft, f_pad), np.float32)
+    sin_b = np.zeros((n_fft, f_pad), np.float32)
+    cos_b[:, :cutoff] = basis[:cutoff].T
+    sin_b[:, :cutoff] = basis[cutoff:].T
+
+    mel = filters.mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
+    mel_pad = np.zeros((f_pad, m_pad), np.float32)
+    mel_pad[:cutoff, :n_mels] = mel.T
+    return cos_b, sin_b, mel_pad
+
+
+def _kernel(wav_ref, cos_ref, sin_ref, mel_ref, out_ref, scratch, sem,
+            *, hop_length: int, n_fft: int, padded_len: int, span_rows: int,
+            log_offset: float, lo: float, hi: float, precision):
+    b = pl.program_id(0)
+    tile = pl.program_id(1)
+
+    # wav arrives as a 2D hop-row view (total_rows, hop): row k is
+    # wav[k*hop : (k+1)*hop]. All row offsets are 8-multiples (2D tiling), so
+    # one aligned span DMA suffices.
+    rows_per_wav = padded_len // hop_length
+    base_row = pl.multiple_of(b * rows_per_wav + tile * TILE_FRAMES, 8)
+    dma = pltpu.make_async_copy(wav_ref.at[pl.ds(base_row, span_rows)],
+                                scratch, sem)
+    dma.start()
+    dma.wait()
+
+    # overlapping frames from the hop-row view via rolls (no unaligned
+    # slicing): frame(i) = rows i .. i+R-1 concatenated along lanes
+    ratio = n_fft // hop_length
+    x = scratch[:]
+    frames = jnp.concatenate(
+        [pltpu.roll(x, (span_rows - r) % span_rows, 0)[:TILE_FRAMES]
+         for r in range(ratio)], axis=1)
+
+    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32,
+                 precision=precision)
+    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32,
+                 precision=precision)
+    mag = jnp.sqrt(re * re + im * im)
+
+    mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32,
+                  precision=precision)
+    out = jnp.log(mel + log_offset)
+    out = jnp.clip(out, lo, hi)
+    out_ref[...] = out[None]
+
+
+def fused_log_mel(wav: jnp.ndarray, sample_rate: int = 22050, mel_size: int = 80,
+                  n_fft: int = 1024, win_length: int = 1024, hop_length: int = 256,
+                  min_db: Optional[float] = None, max_db: Optional[float] = None,
+                  mel_min: float = 0.0, mel_max: Optional[float] = None,
+                  log_offset: float = 1e-6, precision: str = 'highest',
+                  interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused log-mel: wav (B, T) -> (B, mel_size, n_frames).
+
+    Same numerics as ``ops.mel.log_mel_spectrogram`` at matching arguments
+    (max err ~6e-6 at precision='highest'; 'default' is ~2x faster with
+    bf16-pass matmuls, max err ~1e-2 in log-mel units).
+    Requires hop | n_fft and n_fft == win_length (the settings.py geometry).
+    ``interpret`` defaults to True off-TPU (pure-python Pallas interpreter).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    prec = (jax.lax.Precision.HIGHEST if precision == 'highest'
+            else jax.lax.Precision.DEFAULT)
+    assert wav.ndim == 2, 'fused_log_mel expects (B, T)'
+    assert n_fft % hop_length == 0 and win_length == n_fft, \
+        'fused kernel supports the n_fft==win, hop | n_fft geometry'
+    b, t = wav.shape
+
+    # centered reflect pad, then zero-pad so every tile has a full wav span;
+    # padded_len is a 1024-multiple so flattened DMA offsets satisfy Mosaic's
+    # 1D HBM tiling
+    wav = jnp.pad(wav, [(0, 0), (n_fft // 2, n_fft // 2)], mode='reflect')
+    n_frames = 1 + (wav.shape[1] - n_fft) // hop_length
+    n_tiles = max(1, -(-n_frames // TILE_FRAMES))
+    # span in hop-rows, rounded to the 2D sublane tiling (8)
+    span_rows = _round_up((TILE_FRAMES - 1) + n_fft // hop_length, 8)
+    need = ((n_tiles - 1) * TILE_FRAMES + span_rows) * hop_length
+    need = _round_up(need, 8 * hop_length)
+    if wav.shape[1] < need:
+        wav = jnp.pad(wav, [(0, 0), (0, need - wav.shape[1])])
+
+    cos_b, sin_b, mel_pad = _constants(sample_rate, n_fft, win_length,
+                                       mel_size, mel_min, mel_max)
+    m_pad = mel_pad.shape[1]
+    lo = db_to_log(min_db) if min_db else -np.inf
+    hi = db_to_log(max_db) if max_db else np.inf
+
+    padded_len = wav.shape[1]
+    kernel = functools.partial(
+        _kernel, hop_length=hop_length, n_fft=n_fft,
+        padded_len=padded_len, span_rows=span_rows,
+        log_offset=log_offset, lo=lo, hi=hi, precision=prec)
+
+    wav = wav.reshape(-1, hop_length)   # hop-row view over all batch rows
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),            # wav stays in HBM
+            pl.BlockSpec(cos_b.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sin_b.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(mel_pad.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_FRAMES, m_pad),
+                               lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE_FRAMES, m_pad),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((span_rows, hop_length), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_tiles * TILE_FRAMES * n_fft * (2 * cos_b.shape[1] + 1),
+            bytes_accessed=wav.size * 4 + b * n_tiles * TILE_FRAMES * m_pad * 4,
+            transcendentals=b * n_tiles * TILE_FRAMES * m_pad,
+        ),
+        interpret=interpret,
+    )(wav, cos_b, sin_b, mel_pad)
+
+    return out[:, :n_frames, :mel_size].swapaxes(1, 2)

@@ -1,0 +1,50 @@
+"""Pallas fused log-mel kernel tests (interpreter mode on CPU; the same kernel
+runs compiled on TPU — see BENCH_DETAILS.json for measured speedups)."""
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_sound_tpu import settings as s
+from pytorch_sound_tpu.ops import mel as mel_ops
+from pytorch_sound_tpu.ops.pallas.logmel import fused_log_mel
+
+KW = dict(min_db=s.MIN_DB, max_db=s.MAX_DB, mel_min=s.MEL_MIN, mel_max=s.MEL_MAX)
+
+
+def _ref(wav):
+    return mel_ops.log_mel_spectrogram(
+        wav, s.SAMPLE_RATE, s.MEL_SIZE, s.N_FFT, s.WIN_LENGTH, s.HOP_LENGTH, **KW)
+
+
+def test_fused_logmel_matches_xla_path():
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((2, 22050)).astype(np.float32) * 0.2)
+    out_p = fused_log_mel(wav, s.SAMPLE_RATE, s.MEL_SIZE, s.N_FFT,
+                          s.WIN_LENGTH, s.HOP_LENGTH, **KW)
+    out_x = _ref(wav)
+    assert out_p.shape == out_x.shape == (2, 80, 87)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-4)
+
+
+def test_fused_logmel_non_tile_multiple_length():
+    rng = np.random.default_rng(1)
+    # 12345 samples -> 49 frames, not a multiple of the 32-frame tile
+    wav = jnp.asarray(rng.standard_normal((1, 12345)).astype(np.float32) * 0.2)
+    out_p = fused_log_mel(wav, s.SAMPLE_RATE, s.MEL_SIZE, s.N_FFT,
+                          s.WIN_LENGTH, s.HOP_LENGTH, **KW)
+    out_x = _ref(wav)
+    assert out_p.shape == out_x.shape
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-4)
+
+
+def test_fused_logmel_jittable():
+    rng = np.random.default_rng(2)
+    wav = jnp.asarray(rng.standard_normal((3, 8192)).astype(np.float32))
+    f = jax.jit(lambda w: fused_log_mel(w, s.SAMPLE_RATE, s.MEL_SIZE, s.N_FFT,
+                                        s.WIN_LENGTH, s.HOP_LENGTH, **KW))
+    out = f(wav)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(wav)), atol=1e-4)
