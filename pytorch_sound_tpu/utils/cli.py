@@ -72,7 +72,8 @@ def fire_like(target, argv: Optional[List[str]] = None) -> Any:
         return _call_with_argv(target, argv)
 
     obj = target() if inspect.isclass(target) else target
-    methods = {name: m for name, m in inspect.getmembers(obj, inspect.ismethod)
+    methods = {name: m for name, m in inspect.getmembers(
+                   obj, lambda m: inspect.ismethod(m) or inspect.isfunction(m))
                if not name.startswith('_')}
     if not argv or argv[0] in ('-h', '--help'):
         print('usage: {} <command> [args...]'.format(sys.argv[0]))

@@ -1,0 +1,122 @@
+"""Preprocess CLI tests: Processor pipelines on synthetic raw-corpus trees."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pytorch_sound_tpu.scripts.preprocess import (Processor, process_all,
+                                                  rms_normalize,
+                                                  partialize_npy_wave,
+                                                  load_split_numpy)
+from pytorch_sound_tpu.data.meta.vctk import VCTKMeta
+from pytorch_sound_tpu.data.meta.dsd100 import DSD100Meta
+from pytorch_sound_tpu.utils.cli import fire_like
+from pytorch_sound_tpu.utils.wavio import read_wav, write_wav
+
+SR_IN = 48000
+SR_OUT = 22050
+
+
+def test_rms_normalize():
+    wav = (0.01 * np.sin(np.linspace(0, 100, 10000))).astype(np.float32)
+    out = rms_normalize(wav, target_db=-23.0)
+    rms_db = 20 * np.log10(np.sqrt(np.mean(out ** 2)))
+    assert abs(rms_db + 23.0) < 0.1
+    # silence passes through
+    z = np.zeros(100, np.float32)
+    np.testing.assert_array_equal(rms_normalize(z), z)
+
+
+def test_process_all_resamples_and_normalizes(tmp_path):
+    rng = np.random.default_rng(0)
+    in_path = os.path.join(tmp_path, 'in.wav')
+    out_path = os.path.join(tmp_path, 'out.wav')
+    write_wav(in_path, (0.02 * rng.standard_normal(SR_IN * 2)).astype(np.float32), SR_IN)
+    process_all(in_path, out_path, SR_OUT)
+    wav, sr = read_wav(out_path)
+    assert sr == SR_OUT
+    assert abs(len(wav) - SR_OUT * 2) < 4
+    rms_db = 20 * np.log10(np.sqrt(np.mean(wav ** 2)))
+    assert abs(rms_db + 23.0) < 0.5
+
+    # idempotent skip: modifying the output then reprocessing keeps the output
+    write_wav(out_path, np.zeros(10, np.float32), SR_OUT)
+    process_all(in_path, out_path, SR_OUT)
+    wav2, _ = read_wav(out_path)
+    assert len(wav2) == 10
+
+
+def test_vctk_pipeline_via_cli(tmp_path):
+    rng = np.random.default_rng(1)
+    raw = os.path.join(tmp_path, 'raw')
+    out = os.path.join(tmp_path, 'out')
+    # raw VCTK layout: wav48/<spk>/<utt>.wav + txt/<spk>/<utt>.txt
+    for spk in ('p225', 'p226'):
+        os.makedirs(os.path.join(raw, 'wav48', spk))
+        os.makedirs(os.path.join(raw, 'txt', spk))
+        for u in range(6):
+            dur = rng.uniform(2.5, 4.0)
+            wav = (0.05 * rng.standard_normal(int(SR_IN * dur))).astype(np.float32)
+            key = '%s_%03d' % (spk, u)
+            write_wav(os.path.join(raw, 'wav48', spk, key + '.wav'), wav, SR_IN)
+            with open(os.path.join(raw, 'txt', spk, key + '.txt'), 'w') as w:
+                w.write('this is sentence %d.' % u)
+
+    # through the CLI dispatch surface, as a user would
+    fire_like(Processor, ['vctk', raw, out, '--sample_rate', str(SR_OUT)])
+
+    meta_dir = os.path.join(out, 'meta')
+    assert sorted(os.listdir(meta_dir)) == ['all_meta.json', 'train_meta.json',
+                                            'val_meta.json']
+    meta = VCTKMeta(os.path.join(meta_dir, 'all_meta.json'))
+    assert len(meta) == 12
+    # all processed wavs are at the target rate
+    from pytorch_sound_tpu.utils.wavio import read_wav_info
+    for p in meta.meta['audio_filename'].values:
+        sr, _, _, _ = read_wav_info(p)
+        assert sr == SR_OUT
+
+
+def test_dsd100_pipeline(tmp_path):
+    rng = np.random.default_rng(2)
+    raw = os.path.join(tmp_path, 'dsd')
+    out = os.path.join(tmp_path, 'dsd_out')
+    sr = 44100
+    for subset in ('Dev', 'Test'):
+        for song in ('s1', 's2'):
+            mdir = os.path.join(raw, 'Mixtures', subset, song)
+            sdir = os.path.join(raw, 'Sources', subset, song)
+            os.makedirs(mdir)
+            os.makedirs(sdir)
+            v = (0.1 * rng.standard_normal(sr * 25)).astype(np.float32)
+            b = (0.1 * rng.standard_normal(sr * 25)).astype(np.float32)
+            write_wav(os.path.join(mdir, 'mixture.wav'), v + b, sr)
+            write_wav(os.path.join(sdir, 'vocals.wav'), v, sr)
+
+    fire_like(Processor, ['dsd100', raw, out, '--wav_subset_len', str(sr * 10)])
+
+    meta = DSD100Meta(os.path.join(out, 'meta', 'all_meta.json'))
+    assert len(meta) == 8   # 4 songs x 2 chunks of 10s from 25s
+    row = meta.iloc[0]
+    mix = np.load(row['mixture_filename'])
+    voc = np.load(row['voice_filename'])
+    bg = np.load(row['background_filename'])
+    np.testing.assert_allclose(mix, voc + bg, atol=1e-6)
+
+
+def test_partialize_npy(tmp_path):
+    arr = np.arange(25, dtype=np.float32)
+    p = os.path.join(tmp_path, 'a.npy')
+    np.save(p, arr)
+    path, parts = partialize_npy_wave(p, 10, 10)
+    assert len(parts) == 2   # 25 -> 10, 10, (5 dropped below min)
+    np.testing.assert_array_equal(np.load(parts[0]), arr[:10])
+
+
+def test_cli_help_and_unknown(capsys):
+    fire_like(Processor, [])
+    outp = capsys.readouterr().out
+    assert 'vctk' in outp and 'voice_bank' in outp and 'extract_features' in outp
+    with pytest.raises(SystemExit):
+        fire_like(Processor, ['definitely_not_a_command'])
