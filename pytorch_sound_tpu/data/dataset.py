@@ -256,10 +256,13 @@ class SpeechDataLoader:
         dims = [b.shape for b in sub_batch]
         max_dims = [max(d[i] for d in dims) for i in range(len(dims[0]))]
         if pad_multiple > 1:
-            # quantize the time axis; int fields (text/midi ids) are short, so
-            # cap their quantum to bound padding waste while still limiting shapes
-            quantum = pad_multiple if np.issubdtype(sub_batch[0].dtype, np.floating) \
-                else min(pad_multiple, 32)
+            # quantize the time axis. The full quantum applies to 1-D float
+            # fields (raw audio); frame-rate features (piano rolls, mels) and
+            # int fields (text ids) are far shorter per step, so cap their
+            # quantum to bound padding waste while still limiting shape counts
+            is_audio = (np.issubdtype(sub_batch[0].dtype, np.floating)
+                        and len(max_dims) == 1)
+            quantum = pad_multiple if is_audio else min(pad_multiple, 32)
             max_dims[-1] = int(math.ceil(max_dims[-1] / quantum)) * quantum
         out = np.zeros((len(sub_batch), *max_dims), dtype=sub_batch[0].dtype)
         for i, b in enumerate(sub_batch):

@@ -418,8 +418,13 @@ class Trainer:
     @staticmethod
     def repeat(iterable):
         while True:
+            yielded = False
             for x in iterable:
+                yielded = True
                 yield x
+            if not yielded:   # empty dataset would otherwise busy-spin forever
+                raise ValueError(
+                    'dataset yielded no batches — is the split empty?')
 
 
 def _meta_to_host(meta: Dict[str, Tuple[Any, LogType]]) -> Dict[str, Tuple[Any, LogType]]:

@@ -15,6 +15,9 @@ if '--xla_force_host_platform_device_count' not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# loaders_smoke/ holds reference-parity manual smoke CLIs needing real datasets
+collect_ignore_glob = ['loaders_smoke/*']
+
 
 @pytest.fixture(scope='session')
 def rng():
