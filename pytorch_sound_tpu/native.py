@@ -1,0 +1,170 @@
+"""ctypes bindings for the native audio runtime (csrc/libtpusound.so).
+
+Build with ``make -C csrc``; every entry point has a pure-Python fallback in
+:mod:`pytorch_sound_tpu.utils.wavio`, so the library is an accelerator, not a
+dependency. The batch loader releases the GIL (pure pthread pool in C++), so
+decode+resample parallelism scales with cores even from one Python thread.
+"""
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '..', 'csrc', 'libtpusound.so')
+_lib = None
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Load (and memoize) the native library; None when not built."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    lib.ts_wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                                ctypes.POINTER(ctypes.c_int64),
+                                ctypes.POINTER(ctypes.c_int),
+                                ctypes.POINTER(ctypes.c_int)]
+    lib.ts_wav_info.restype = ctypes.c_int
+
+    lib.ts_read_wav.argtypes = [ctypes.c_char_p,
+                                np.ctypeslib.ndpointer(np.float32),
+                                ctypes.c_int64, ctypes.POINTER(ctypes.c_int)]
+    lib.ts_read_wav.restype = ctypes.c_int64
+
+    lib.ts_write_wav.argtypes = [ctypes.c_char_p,
+                                 np.ctypeslib.ndpointer(np.float32),
+                                 ctypes.c_int64, ctypes.c_int]
+    lib.ts_write_wav.restype = ctypes.c_int
+
+    lib.ts_resample_out_len.argtypes = [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+    lib.ts_resample_out_len.restype = ctypes.c_int64
+
+    lib.ts_resample.argtypes = [np.ctypeslib.ndpointer(np.float32),
+                                ctypes.c_int64,
+                                np.ctypeslib.ndpointer(np.float32),
+                                ctypes.c_int, ctypes.c_int]
+    lib.ts_resample.restype = ctypes.c_int64
+
+    lib.ts_rms_normalize.argtypes = [np.ctypeslib.ndpointer(np.float32),
+                                     ctypes.c_int64, ctypes.c_float]
+    lib.ts_mulaw_encode.argtypes = [np.ctypeslib.ndpointer(np.float32),
+                                    ctypes.c_int64, ctypes.c_int,
+                                    np.ctypeslib.ndpointer(np.int32)]
+    lib.ts_mulaw_decode.argtypes = [np.ctypeslib.ndpointer(np.int32),
+                                    ctypes.c_int64, ctypes.c_int,
+                                    np.ctypeslib.ndpointer(np.float32)]
+
+    lib.ts_batch_load.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int]
+    lib.ts_batch_load.restype = ctypes.c_int
+
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def wav_info(path: str) -> Tuple[int, int, int, int]:
+    """(sample_rate, n_frames, channels, bits) via the native header parser."""
+    lib = load_library()
+    sr = ctypes.c_int()
+    frames = ctypes.c_int64()
+    ch = ctypes.c_int()
+    bits = ctypes.c_int()
+    rc = lib.ts_wav_info(path.encode(), ctypes.byref(sr), ctypes.byref(frames),
+                         ctypes.byref(ch), ctypes.byref(bits))
+    if rc != 0:
+        raise IOError('ts_wav_info({}) failed rc={}'.format(path, rc))
+    return sr.value, frames.value, ch.value, bits.value
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Decode to mono float32 via the native decoder."""
+    lib = load_library()
+    sr, frames, _, _ = wav_info(path)
+    out = np.empty(frames, dtype=np.float32)
+    got_sr = ctypes.c_int()
+    n = lib.ts_read_wav(path.encode(), out, frames, ctypes.byref(got_sr))
+    if n < 0:
+        raise IOError('ts_read_wav({}) failed rc={}'.format(path, n))
+    return out[:n], got_sr.value
+
+
+def write_wav(path: str, samples: np.ndarray, sr: int):
+    lib = load_library()
+    samples = np.ascontiguousarray(samples, dtype=np.float32)
+    rc = lib.ts_write_wav(path.encode(), samples, len(samples), sr)
+    if rc != 0:
+        raise IOError('ts_write_wav({}) failed rc={}'.format(path, rc))
+
+
+def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    lib = load_library()
+    if orig_sr == target_sr:
+        return np.asarray(wav, dtype=np.float32)
+    g = int(np.gcd(orig_sr, target_sr))
+    up, down = target_sr // g, orig_sr // g
+    wav = np.ascontiguousarray(wav, dtype=np.float32)
+    out = np.empty(lib.ts_resample_out_len(len(wav), up, down), dtype=np.float32)
+    n = lib.ts_resample(wav, len(wav), out, up, down)
+    return out[:n]
+
+
+def rms_normalize(wav: np.ndarray, target_db: float = -23.0) -> np.ndarray:
+    lib = load_library()
+    out = np.ascontiguousarray(wav, dtype=np.float32).copy()
+    lib.ts_rms_normalize(out, len(out), target_db)
+    return out
+
+
+def mulaw_encode(wav: np.ndarray, bins: int = 256) -> np.ndarray:
+    lib = load_library()
+    wav = np.ascontiguousarray(wav, dtype=np.float32)
+    out = np.empty(len(wav), dtype=np.int32)
+    lib.ts_mulaw_encode(wav, len(wav), bins, out)
+    return out
+
+
+def mulaw_decode(q: np.ndarray, bins: int = 256) -> np.ndarray:
+    lib = load_library()
+    q = np.ascontiguousarray(q, dtype=np.int32)
+    out = np.empty(len(q), dtype=np.float32)
+    lib.ts_mulaw_decode(q, len(q), bins, out)
+    return out
+
+
+def batch_load(paths: List[str], target_sr: int = 0, norm_db: float = -23.0,
+               normalize: bool = False, max_seconds: float = 30.0,
+               n_threads: int = 0) -> List[Optional[np.ndarray]]:
+    """Parallel decode(+resample +normalize) of many wav files, GIL-free.
+
+    Returns one float32 array per path (None on per-file failure).
+    """
+    lib = load_library()
+    n = len(paths)
+    if n == 0:
+        return []
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+
+    cap = int(max_seconds * (target_sr if target_sr > 0 else 48000)) + 1024
+    bufs = [np.empty(cap, dtype=np.float32) for _ in range(n)]
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_outs = (ctypes.c_void_p * n)(*[b.ctypes.data for b in bufs])
+    c_caps = (ctypes.c_int64 * n)(*([cap] * n))
+    c_lens = (ctypes.c_int64 * n)()
+    lib.ts_batch_load(c_paths, n, target_sr, norm_db, int(normalize),
+                      c_outs, c_caps, c_lens, n_threads)
+    return [bufs[i][:c_lens[i]].copy() if c_lens[i] >= 0 else None
+            for i in range(n)]

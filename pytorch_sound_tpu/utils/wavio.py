@@ -138,7 +138,22 @@ def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
 
 def load_wav(path: str, sr: Optional[int] = None, mono: bool = True) -> Tuple[np.ndarray, int]:
-    """librosa.load-style helper: read, mono-mix, optionally resample."""
+    """librosa.load-style helper: read, mono-mix, optionally resample.
+
+    Uses the native C++ decoder (csrc/libtpusound.so) when built; this Python
+    implementation is the fallback and the semantic reference.
+    """
+    if mono:
+        try:
+            from pytorch_sound_tpu import native
+            if native.available():
+                wav, orig_sr = native.read_wav(path)
+                if sr is not None and sr != orig_sr:
+                    wav = resample(wav, orig_sr, sr)
+                    orig_sr = sr
+                return wav, orig_sr
+        except Exception:
+            pass   # fall through to the pure-Python path
     wav, orig_sr = read_wav(path)
     if mono and wav.ndim == 2:
         wav = wav.mean(axis=0)

@@ -1,0 +1,121 @@
+"""Native C++ audio runtime tests (skipped when csrc/libtpusound.so not built)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pytorch_sound_tpu import native
+from pytorch_sound_tpu.utils import wavio
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason='libtpusound.so not built (make -C csrc)')
+
+
+@pytest.fixture(scope='module')
+def wav_file(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    path = str(tmp_path_factory.mktemp('native') / 'a.wav')
+    t = np.arange(22050 * 2) / 22050
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)
+           + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    wavio.write_wav(path, wav, 22050)
+    return path, wav
+
+
+def test_native_wav_info(wav_file):
+    path, wav = wav_file
+    sr, frames, ch, bits = native.wav_info(path)
+    assert (sr, frames, ch, bits) == (22050, len(wav), 1, 32)
+
+
+def test_native_read_matches_python(wav_file):
+    path, wav = wav_file
+    n_wav, sr = native.read_wav(path)
+    p_wav, p_sr = wavio.read_wav(path)
+    assert sr == p_sr
+    np.testing.assert_allclose(n_wav, p_wav, atol=1e-7)
+
+
+def test_native_write_roundtrip(tmp_path, wav_file):
+    _, wav = wav_file
+    out = os.path.join(tmp_path, 'w.wav')
+    native.write_wav(out, wav, 22050)
+    back, sr = wavio.read_wav(out)
+    assert sr == 22050
+    np.testing.assert_allclose(back, wav, atol=1e-7)
+
+
+def test_native_int16_decode(tmp_path):
+    rng = np.random.default_rng(1)
+    wav = (0.3 * rng.standard_normal(10000)).astype(np.float32).clip(-1, 1)
+    path = os.path.join(tmp_path, 'i16.wav')
+    wavio.write_wav(path, wav, 16000, dtype='int16')
+    n_wav, sr = native.read_wav(path)
+    p_wav, _ = wavio.read_wav(path)
+    np.testing.assert_allclose(n_wav, p_wav, atol=1e-6)
+
+
+def test_native_resample_quality():
+    sr_in, sr_out = 48000, 22050
+    t = np.arange(sr_in) / sr_in
+    sine = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    out = native.resample(sine, sr_in, sr_out)
+    assert abs(len(out) - sr_out) <= 2
+    # the resampled signal is still a clean 1 kHz tone
+    t2 = np.arange(len(out)) / sr_out
+    ref = np.sin(2 * np.pi * 1000 * t2)
+    corr = np.corrcoef(out[200:-200], ref[200:-200])[0, 1]
+    assert corr > 0.999
+
+
+def test_native_rms_normalize():
+    rng = np.random.default_rng(2)
+    wav = (0.01 * rng.standard_normal(40000)).astype(np.float32)
+    out = native.rms_normalize(wav, -23.0)
+    rms_db = 20 * np.log10(np.sqrt(np.mean(out ** 2)))
+    assert abs(rms_db + 23.0) < 0.1
+
+
+def test_native_mulaw_roundtrip():
+    rng = np.random.default_rng(3)
+    wav = np.tanh(rng.standard_normal(5000)).astype(np.float32)
+    q = native.mulaw_encode(wav, 256)
+    assert q.min() >= 0 and q.max() <= 255
+    back = native.mulaw_decode(q, 256)
+    # mu-law 8-bit quantization error bound
+    assert np.abs(back - wav).max() < 0.04
+    # companding gives finer resolution near zero
+    small = np.linspace(-0.01, 0.01, 100).astype(np.float32)
+    qs = native.mulaw_encode(small, 256)
+    assert len(np.unique(qs)) > 10
+
+
+def test_native_batch_load(tmp_path):
+    rng = np.random.default_rng(4)
+    paths = []
+    wavs = []
+    for i in range(6):
+        p = os.path.join(tmp_path, 'b%d.wav' % i)
+        w = (0.2 * rng.standard_normal(48000)).astype(np.float32)
+        wavio.write_wav(p, w, 48000)
+        paths.append(p)
+        wavs.append(w)
+    paths.append(os.path.join(tmp_path, 'missing.wav'))
+
+    outs = native.batch_load(paths, target_sr=22050, normalize=True,
+                             n_threads=4)
+    assert len(outs) == 7
+    assert outs[-1] is None                  # missing file -> None
+    for o in outs[:-1]:
+        assert o is not None
+        assert abs(len(o) - 22050) <= 2      # resampled to 1s at 22.05k
+        rms_db = 20 * np.log10(np.sqrt(np.mean(o ** 2)))
+        assert abs(rms_db + 23.0) < 1.0
+
+
+def test_load_wav_uses_native_consistently(wav_file):
+    path, _ = wav_file
+    via_loader, sr = wavio.load_wav(path, sr=16000)
+    assert sr == 16000
+    assert abs(len(via_loader) - 16000 * 2) <= 2
