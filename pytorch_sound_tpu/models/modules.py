@@ -27,6 +27,7 @@ class MultiHeadAttention(nn.Module):
     hidden_dim: int
     heads: int
     dropout_rate: float = 0.0
+    block_size: int = 0   # >0: blockwise (flash-style) path, O(T*block) memory
 
     @nn.compact
     def __call__(self, input: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -43,15 +44,25 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(n, t, self.heads, head_dim)
         q = q.reshape(n, t, self.heads, head_dim)
 
-        att = jnp.einsum('nkhd,nqhd->nhkq', k, q) / (head_dim ** 0.5)
-        if mask is not None:
-            # mask (N, T): True -> masked; applied along the key axis
-            att = jnp.where(mask[:, None, :, None], -jnp.inf, att)
-        att = nn.softmax(att, axis=2)                              # over keys
-        if mask is not None:
-            att = jnp.where(mask[:, None, None, :], 0.0, att)      # zero masked queries
-
-        out = jnp.einsum('nkhd,nhkq->nqhd', v, att).reshape(n, t, c)
+        if self.block_size:
+            from pytorch_sound_tpu.ops.attention import blockwise_attention
+            out = blockwise_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), mask=mask,
+                block_size=self.block_size)                       # (N, H, T, D)
+            if mask is not None:
+                out = jnp.where(mask[:, None, :, None], 0.0, out)
+            out = out.transpose(0, 2, 1, 3).reshape(n, t, c)
+            att = None   # the (T, T) map is never materialized on this path
+        else:
+            att = jnp.einsum('nkhd,nqhd->nhkq', k, q) / (head_dim ** 0.5)
+            if mask is not None:
+                # mask (N, T): True -> masked; applied along the key axis
+                att = jnp.where(mask[:, None, :, None], -jnp.inf, att)
+            att = nn.softmax(att, axis=2)                          # over keys
+            if mask is not None:
+                att = jnp.where(mask[:, None, None, :], 0.0, att)  # zero masked queries
+            out = jnp.einsum('nkhd,nhkq->nqhd', v, att).reshape(n, t, c)
         out = nn.Dense(c, use_bias=False, name='linear')(out)
         if 0 < self.dropout_rate < 1:
             out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)

@@ -1,0 +1,87 @@
+"""Blockwise (flash-style) attention that never materializes the (T, T) map.
+
+New capability vs the reference (SURVEY.md §2.2): the reference's attention is
+a full bmm materializing (T x T)
+(`/root/reference/pytorch_sound/models/modules.py:62-79`), with sequence
+length controlled purely data-side. This op computes the same softmax
+attention with an **online-softmax scan over key blocks** — peak memory
+O(T x block) instead of O(T^2) — so long spectrogram sequences fit in HBM.
+``lax.scan`` keeps it a single compiled loop; XLA pipelines the blocks.
+
+For multi-chip sequence parallelism, shard the key/value sequence axis over a
+mesh axis and wrap the call in ``shard_map``; the per-device partial
+(acc, max, denom) triples combine associatively (see
+``combine_attention_partials``), which is exactly the ring-attention reduction.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def blockwise_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        mask: Optional[jnp.ndarray] = None,
+                        block_size: int = 256) -> jnp.ndarray:
+    """Softmax attention over key blocks with online renormalization.
+
+    :param q: queries (N, H, Tq, D)
+    :param k: keys    (N, H, Tk, D)
+    :param v: values  (N, H, Tk, D)
+    :param mask: optional (N, Tk) boolean, True = key masked out
+    :param block_size: key-block length (rounded up by padding)
+    :return: (N, H, Tq, D) attention output
+    """
+    n, h, tq, d = q.shape
+    tk = k.shape[2]
+    scale = 1.0 / (d ** 0.5)
+
+    pad = (-tk) % block_size
+    if pad:
+        k = jnp.pad(k, [(0, 0), (0, 0), (0, pad), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, pad), (0, 0)])
+    key_valid = jnp.arange(tk + pad) < tk                       # (Tk+pad,)
+    if mask is not None:
+        key_valid = key_valid[None, :] & ~jnp.pad(mask, [(0, 0), (0, pad)],
+                                                  constant_values=True)
+    else:
+        key_valid = jnp.broadcast_to(key_valid[None, :], (n, tk + pad))
+
+    n_blocks = (tk + pad) // block_size
+    k_blocks = k.reshape(n, h, n_blocks, block_size, d).transpose(2, 0, 1, 3, 4)
+    v_blocks = v.reshape(n, h, n_blocks, block_size, d).transpose(2, 0, 1, 3, 4)
+    valid_blocks = key_valid.reshape(n, n_blocks, block_size).transpose(1, 0, 2)
+
+    def step(carry, xs):
+        acc, m, denom = carry
+        kb, vb, validb = xs                                      # (N,H,B,D) ...
+        s = jnp.einsum('nhqd,nhbd->nhqb', q, kb) * scale
+        s = jnp.where(validb[:, None, None, :], s, NEG_INF)
+
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))    # (N,H,Tq,1)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        acc = acc * alpha + jnp.einsum('nhqb,nhbd->nhqd', p, vb)
+        denom = denom * alpha + p.sum(axis=-1, keepdims=True)
+        return (acc, m_new, denom), None
+
+    init = (jnp.zeros((n, h, tq, d), q.dtype),
+            jnp.full((n, h, tq, 1), NEG_INF, q.dtype),
+            jnp.zeros((n, h, tq, 1), q.dtype))
+    (acc, _, denom), _ = jax.lax.scan(step, init, (k_blocks, v_blocks, valid_blocks))
+    return acc / jnp.maximum(denom, 1e-30)
+
+
+def combine_attention_partials(a: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+                               b: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]):
+    """Associatively merge two (acc, max, denom) attention partials — the
+    cross-device reduction for sequence-sharded (ring) attention."""
+    acc_a, m_a, d_a = a
+    acc_b, m_b, d_b = b
+    m = jnp.maximum(m_a, m_b)
+    wa = jnp.exp(m_a - m)
+    wb = jnp.exp(m_b - m)
+    return acc_a * wa + acc_b * wb, m, d_a * wa + d_b * wb

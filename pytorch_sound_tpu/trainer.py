@@ -117,7 +117,8 @@ class Trainer:
                  grad_clip: float = 0.0, grad_norm: float = 0.0,
                  pretrained_path: str = None, sr: int = None,
                  scheduler=None, seed: int = None,
-                 params=None, mesh=None, prefetch_size: int = 2):
+                 params=None, mesh=None, prefetch_size: int = 2,
+                 profile_dir: str = None, profile_steps: Tuple[int, int] = (10, 20)):
         self.pretrained_path = pretrained_path
         self.model = model
         self.scheduler = scheduler
@@ -162,6 +163,14 @@ class Trainer:
         self.best_valid_loss = float(np.finfo(np.float32).max)
         self.cur_best_valid_loss = self.best_valid_loss
         self.save_valid_loss = float(np.finfo(np.float32).max)
+
+        # observability: jax.profiler window + rolling step-time metrics
+        # (the reference had no tracing/profiling — SURVEY.md §5)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self._profiling = False
+        self._step_times = []
+        self._last_step_time = None
 
     # ------------------------------------------------------------------ user API
 
@@ -263,13 +272,34 @@ class Trainer:
 
     # ------------------------------------------------------------------ phases
 
+    def _maybe_profile(self, step: int):
+        if not self.profile_dir:
+            return
+        start, end = self.profile_steps
+        if step == start and not self._profiling:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+            log('profiler trace started -> {}'.format(self.profile_dir))
+        elif step == end and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            log('profiler trace stopped')
+
     def train(self, step: int):
+        import time
+        self._maybe_profile(step)
         log_flag = step % self.log_interval == 0
         batch = next(self.train_dataset)
         self._ensure_initialized(batch)
 
+        t0 = time.perf_counter()
         self.params, self.opt_state, loss, meta = self._get_train_step()(
             self.params, self.opt_state, batch, is_logging=log_flag)
+        if log_flag:
+            jax.block_until_ready(self.params)
+        self._step_times.append(time.perf_counter() - t0)
+        if len(self._step_times) > 100:
+            self._step_times.pop(0)
 
         if log_flag:
             loss_host = float(loss)
@@ -277,6 +307,10 @@ class Trainer:
                 log('{} cur step NAN is occured'.format(step))
                 return
             meta = _meta_to_host(_unwrap_meta(meta))
+            if self._step_times:
+                meta['steps_per_sec'] = (
+                    1.0 / (sum(self._step_times) / len(self._step_times)),
+                    LogType.SCALAR)
             self.console_log('train', meta, step)
             try:
                 self.tensorboard_log('train', meta, step)

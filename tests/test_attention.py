@@ -1,0 +1,77 @@
+"""Blockwise attention tests: equivalence with dense softmax attention."""
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_sound_tpu.models.modules import MultiHeadAttention
+from pytorch_sound_tpu.ops.attention import (blockwise_attention,
+                                             combine_attention_partials)
+
+
+def _dense_attention(q, k, v, mask=None):
+    d = q.shape[-1]
+    s = jnp.einsum('nhqd,nhkd->nhqk', q, k) / (d ** 0.5)
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :], -jnp.inf, s)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum('nhqk,nhkd->nhqd', p, v)
+
+
+def _qkv(rng, n=2, h=4, t=100, d=16):
+    return tuple(jnp.asarray(rng.standard_normal((n, h, t, d)),
+                             dtype=jnp.float32) for _ in range(3))
+
+
+def test_blockwise_matches_dense():
+    rng = np.random.default_rng(0)
+    q, k, v = _qkv(rng)
+    out_b = blockwise_attention(q, k, v, block_size=32)
+    out_d = _dense_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_d), atol=1e-5)
+
+
+def test_blockwise_matches_dense_with_mask():
+    rng = np.random.default_rng(1)
+    q, k, v = _qkv(rng, t=77)   # non-multiple of block size
+    mask = jnp.zeros((2, 77), dtype=bool).at[:, 60:].set(True)
+    out_b = blockwise_attention(q, k, v, mask=mask, block_size=32)
+    out_d = _dense_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_d), atol=1e-5)
+
+
+def test_mha_blockwise_path_matches_dense_path():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 50)), dtype=jnp.float32)
+    dense = MultiHeadAttention(hidden_dim=32, heads=4)
+    blocky = MultiHeadAttention(hidden_dim=32, heads=4, block_size=16)
+    params = dense.init(jax.random.PRNGKey(0), x)
+    out_d, att = dense.apply(params, x)
+    out_b, att_b = blocky.apply(params, x)
+    assert att_b is None
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_d), atol=1e-5)
+
+
+def test_combine_partials_is_consistent():
+    """Splitting keys across two 'devices' and merging partials must equal
+    full attention — the ring-attention reduction invariant."""
+    rng = np.random.default_rng(3)
+    q, k, v = _qkv(rng, t=64)
+    half = 32
+
+    def partial_state(ks, vs):
+        d = q.shape[-1]
+        s = jnp.einsum('nhqd,nhkd->nhqk', q, ks) / (d ** 0.5)
+        m = s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        return jnp.einsum('nhqk,nhkd->nhqd', p, vs), m, p.sum(-1, keepdims=True)
+
+    a = partial_state(k[:, :, :half], v[:, :, :half])
+    b = partial_state(k[:, :, half:], v[:, :, half:])
+    acc, m, denom = combine_attention_partials(a, b)
+    merged = acc / denom
+    full = _dense_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(full), atol=1e-5)
