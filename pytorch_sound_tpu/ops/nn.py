@@ -14,6 +14,14 @@ import jax.numpy as jnp
 _DN = ('NCH', 'OIH', 'NCH')   # torch-style layouts for lax conv dimension_numbers
 
 
+def _auto_precision(x: jnp.ndarray):
+    """HIGHEST for f32 inputs (torch-parity numerics); DEFAULT for bf16
+    compute, where multi-pass emulation would negate the dtype's MXU speedup."""
+    if x.dtype == jnp.bfloat16:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
+
+
 def conv1d(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray = None,
            stride: int = 1, padding: Union[int, str] = 0, dilation: int = 1,
            groups: int = 1) -> jnp.ndarray:
@@ -24,11 +32,11 @@ def conv1d(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray = None,
         x, weight, window_strides=(stride,), padding=padding,
         rhs_dilation=(dilation,), dimension_numbers=_DN,
         feature_group_count=groups,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_auto_precision(x),
         preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias[None, :, None]
-    return out
+    return out.astype(x.dtype)
 
 
 def conv_transpose1d(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray = None,
@@ -45,11 +53,11 @@ def conv_transpose1d(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray = No
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(1,), padding=[pad],
         lhs_dilation=(stride,), dimension_numbers=_DN,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_auto_precision(x),
         preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias[None, :, None]
-    return out
+    return out.astype(x.dtype)
 
 
 def reflect_pad1d(x: jnp.ndarray, pad: int) -> jnp.ndarray:

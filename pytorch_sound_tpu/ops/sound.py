@@ -142,3 +142,21 @@ def multi_stft_loss(pred: jnp.ndarray, target: jnp.ndarray,
 def _loss_magnitude(x: jnp.ndarray, n_fft: int, win: int, hop: int) -> jnp.ndarray:
     return stft_ops.spectrogram_magnitude(x, n_fft, hop, win, center=True,
                                           pad_mode='reflect')
+
+
+def mulaw_encode(x: jnp.ndarray, bins: int = 256) -> jnp.ndarray:
+    """mu-law compand + quantize to ``bins`` levels (settings.MULAW_BINS).
+
+    On-device counterpart of the native codec (csrc ts_mulaw_encode).
+    """
+    mu = bins - 1.0
+    x = jnp.clip(x, -1.0, 1.0)
+    y = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / jnp.log1p(mu)
+    return jnp.round((y + 1.0) / 2.0 * mu).astype(jnp.int32)
+
+
+def mulaw_decode(q: jnp.ndarray, bins: int = 256) -> jnp.ndarray:
+    """Inverse of :func:`mulaw_encode`."""
+    mu = bins - 1.0
+    y = 2.0 * q.astype(jnp.float32) / mu - 1.0
+    return jnp.sign(y) * (jnp.power(1.0 + mu, jnp.abs(y)) - 1.0) / mu

@@ -250,3 +250,27 @@ def test_stft_jit_and_vmap(batch_wav):
     vm = jax.vmap(lambda w: stft_ops.spectrogram_magnitude(w, N_FFT, HOP, WIN))
     out2 = vm(jnp.asarray(batch_wav))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_learnable_stft_matches_fixed(batch_wav):
+    """At init, LearnableSTFT must reproduce the fixed conv-STFT numerics."""
+    m = T.LearnableSTFT(filter_length=WIN, hop_length=HOP)
+    x = jnp.asarray(batch_wav)
+    params = m.init(jax.random.PRNGKey(0), x)
+    mag, phase = m.apply(params, x)
+    ref_mag, ref_phase = T.STFT(filter_length=WIN, hop_length=HOP).transform(x)
+    np.testing.assert_allclose(np.asarray(mag), np.asarray(ref_mag), atol=2e-4)
+    rec = m.apply(params, mag, phase, method=T.LearnableSTFT.inverse)
+    n = rec.shape[-1]
+    np.testing.assert_allclose(np.asarray(rec), batch_wav[:, :n], atol=1e-3)
+    # bases are trainable parameters
+    leaves = jax.tree_util.tree_leaves(params)
+    assert any(l.shape == (2 * (WIN // 2 + 1), WIN) for l in leaves)
+
+
+def test_mulaw_ops(batch_wav):
+    x = jnp.tanh(jnp.asarray(batch_wav))
+    q = sound_ops.mulaw_encode(x, 256)
+    assert int(q.min()) >= 0 and int(q.max()) <= 255
+    back = sound_ops.mulaw_decode(q, 256)
+    assert float(jnp.abs(back - x).max()) < 0.04
