@@ -133,3 +133,31 @@ class InterfaceHifiGAN(Interface):
     def decode(self, mel_tensor: jnp.ndarray) -> jnp.ndarray:
         assert mel_tensor.ndim == 3, '3D tensor (N, C, T) is needed'
         return self._decode(self.params, jnp.asarray(mel_tensor))
+
+    def decode_streaming(self, mel_tensor: jnp.ndarray, chunk_frames: int = 256,
+                         overlap_frames: int = 16) -> jnp.ndarray:
+        """Chunked decode for arbitrarily long mels at fixed compiled shapes.
+
+        The mel is split into ``chunk_frames`` windows with ``overlap_frames``
+        of context on each side (covering the generator's receptive field);
+        each chunk decodes with the same jitted program (one compilation
+        total) and the context samples are trimmed before concatenation.
+        Matches full decode away from the extreme edges.
+        """
+        assert mel_tensor.ndim == 3, '3D tensor (N, C, T) is needed'
+        mel = jnp.asarray(mel_tensor)
+        n, c, t = mel.shape
+        up = 256   # samples per mel frame (prod of upsample rates)
+        if t <= chunk_frames:
+            return self.decode(mel)
+
+        ctx = overlap_frames
+        padded = jnp.pad(mel, [(0, 0), (0, 0), (ctx, ctx + (-t) % chunk_frames)],
+                         mode='edge')
+        pieces = []
+        for start in range(0, t, chunk_frames):
+            window = jax.lax.dynamic_slice_in_dim(
+                padded, start, chunk_frames + 2 * ctx, axis=2)
+            wav = self._decode(self.params, window)
+            pieces.append(wav[..., ctx * up: (ctx + chunk_frames) * up])
+        return jnp.concatenate(pieces, axis=-1)[..., : t * up]

@@ -105,3 +105,23 @@ def test_generator_matches_torch_reference_golden():
     out_j = np.asarray(iface.decode(mel))
     assert out_j.shape == out_t.shape
     np.testing.assert_allclose(out_j, out_t, atol=2e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(V2_MSGPACK),
+                    reason='bundled v2 checkpoint not converted')
+def test_streaming_decode_matches_full():
+    iface = InterfaceHifiGAN('hifi_gan_v2')
+    rng = np.random.default_rng(5)
+    mel = (rng.standard_normal((1, 80, 300)).astype(np.float32) * 2 - 4)
+    full = np.asarray(iface.decode(mel))
+    streamed = np.asarray(iface.decode_streaming(mel, chunk_frames=128,
+                                                 overlap_frames=16))
+    assert streamed.shape == full.shape
+    # identical away from chunk boundaries' receptive-field fringe; compare
+    # a wide interior region around each seam
+    err = np.abs(streamed - full)
+    assert float(err[..., 20 * 256: 280 * 256].max()) < 5e-3
+    # short input falls through to plain decode
+    short = np.asarray(iface.decode_streaming(mel[..., :64], chunk_frames=128))
+    np.testing.assert_allclose(short, np.asarray(iface.decode(mel[..., :64])),
+                               atol=1e-6)
