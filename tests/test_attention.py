@@ -75,3 +75,26 @@ def test_combine_partials_is_consistent():
     merged = acc / denom
     full = _dense_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(merged), np.asarray(full), atol=1e-5)
+
+
+def test_flash_kernel_matches_dense():
+    """The Pallas flash kernel (interpret mode on CPU) vs dense attention."""
+    from pytorch_sound_tpu.ops.pallas.flash_attention import flash_attention
+    rng = np.random.default_rng(4)
+    q, k, v = _qkv(rng, t=100, d=16)
+    out_f = flash_attention(q, k, v, block_q=32, block_kv=32)
+    out_d = _dense_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d), atol=1e-5)
+
+    mask = jnp.zeros((2, 100), dtype=bool).at[:, 70:].set(True)
+    out_fm = flash_attention(q, k, v, mask=mask, block_q=32, block_kv=32)
+    out_dm = _dense_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out_fm), np.asarray(out_dm), atol=1e-5)
+
+
+def test_blockwise_backend_dispatch():
+    rng = np.random.default_rng(5)
+    q, k, v = _qkv(rng, t=64, d=16)
+    out_lax = blockwise_attention(q, k, v, block_size=32, backend='lax')
+    out_pal = blockwise_attention(q, k, v, block_size=32, backend='pallas')
+    np.testing.assert_allclose(np.asarray(out_lax), np.asarray(out_pal), atol=1e-5)
