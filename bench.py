@@ -18,8 +18,12 @@ import time
 import numpy as np
 
 
-def _timeit(fn, warmup: int = 2, iters: int = 10) -> float:
-    """Median wall time of fn() after warmup; fn must block until ready."""
+def _timeit(fn, warmup: int = 2, iters: int = 20) -> float:
+    """Median wall time of fn() after warmup; fn must block until ready.
+
+    Median (not min): the axon tunnel adds long-tail latency spikes, and min
+    under-reports because dispatch acks can land before execution completes.
+    """
     for _ in range(warmup):
         fn()
     times = []
@@ -30,7 +34,7 @@ def _timeit(fn, warmup: int = 2, iters: int = 10) -> float:
     return float(np.median(times))
 
 
-def bench_vocoder(batch: int = 8, frames: int = 256):
+def bench_vocoder(batch: int = 32, frames: int = 256):
     """Steady-state mel->wav throughput with the pretrained v2 generator."""
     import jax
     import jax.numpy as jnp
