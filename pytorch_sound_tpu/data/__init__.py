@@ -1,0 +1,1 @@
+"""Data layer: meta frames, datasets/loaders, and text frontends."""

@@ -1,0 +1,1 @@
+"""End-to-end training configurations (VoiceBank, DSD100, Maestro)."""

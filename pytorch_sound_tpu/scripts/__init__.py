@@ -1,0 +1,1 @@
+"""Operator CLIs: dataset preprocessing and checkpoint conversion tools."""

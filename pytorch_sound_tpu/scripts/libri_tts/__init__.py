@@ -1,0 +1,1 @@
+"""LibriTTS download/extract/restructure helpers."""

@@ -1,0 +1,1 @@
+"""Host-side utilities: logging, wav I/O, text codecs, DSP helpers, plotting."""
