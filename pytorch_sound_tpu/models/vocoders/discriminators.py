@@ -1,0 +1,178 @@
+"""HiFi-GAN discriminators (multi-period + multi-scale), flax.
+
+Beyond-parity capability: the reference ships only the pretrained generator
+(`/root/reference/pytorch_sound/models/vocoders/hifi_gan.py`) — no training
+recipe. These are the paper's (arXiv 2010.05646) MPD/MSD discriminators so the
+vocoder family is trainable end-to-end on TPU (see examples/hifi_gan.py).
+
+Each discriminator returns (score_map, [feature_maps...]) for LSGAN +
+feature-matching losses.
+"""
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pytorch_sound_tpu.models import register_model, register_model_architecture
+from pytorch_sound_tpu.models.vocoders.hifi_gan import WNConv1d, _normal_init
+
+
+class WNConv2d(nn.Module):
+    """Conv2d with torch-style weight normalization (dim=0), NCHW layout."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        shape = (self.out_channels, self.in_channels, kh, kw)
+        if self.use_weight_norm:
+            v = self.param('v', _normal_init(), shape)
+            g = self.param('g', lambda key, s: jnp.linalg.norm(
+                v.reshape(self.out_channels, -1), axis=1).reshape(s),
+                (self.out_channels, 1, 1, 1))
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2, 3), keepdims=True) + 1e-12)
+            weight = g * v / norm
+        else:
+            weight = self.param('weight', _normal_init(), shape)
+        bias = self.param('bias', nn.initializers.zeros, (self.out_channels,))
+        out = jax.lax.conv_general_dilated(
+            x, weight, window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]),
+                     (self.padding[1], self.padding[1])],
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+            preferred_element_type=jnp.float32)
+        return out + bias[None, :, None, None]
+
+
+class PeriodDiscriminator(nn.Module):
+    """Folds the wave into (T/period, period) and runs a (5,1)-conv stack."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    channels: Sequence[int] = (32, 128, 512, 1024)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        n, c, t = x.shape
+        pad = (-t) % self.period
+        if pad:
+            x = jnp.pad(x, [(0, 0), (0, 0), (0, pad)], mode='reflect')
+        x = x.reshape(n, c, (t + pad) // self.period, self.period)
+
+        features = []
+        kpad = (self.kernel_size - 1) // 2
+        in_ch = c
+        for i, ch in enumerate(self.channels):
+            x = WNConv2d(in_ch, ch, (self.kernel_size, 1), (self.stride, 1),
+                         (kpad, 0), name='conv_%d' % i)(x)
+            x = nn.leaky_relu(x, 0.1)
+            features.append(x)
+            in_ch = ch
+        top = self.channels[-1]
+        x = WNConv2d(in_ch, top, (self.kernel_size, 1), (1, 1), (kpad, 0),
+                     name='conv_%d' % len(self.channels))(x)
+        x = nn.leaky_relu(x, 0.1)
+        features.append(x)
+        x = WNConv2d(top, 1, (3, 1), (1, 1), (1, 0), name='conv_post')(x)
+        features.append(x)
+        return x.reshape(n, -1), features
+
+
+class ScaleDiscriminator(nn.Module):
+    """Grouped long-kernel conv1d stack over the raw wave.
+
+    ``width`` scales channel counts (1.0 = the paper's 128..1024 stack).
+    """
+
+    width: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        n = x.shape[0]
+        features = []
+
+        def w(ch):
+            return max(8, int(ch * self.width))
+
+        # (in, out, kernel, stride, groups, padding)
+        layout = [
+            (1, w(128), 15, 1, 1, 7),
+            (w(128), w(128), 41, 2, 4, 20),
+            (w(128), w(256), 41, 2, 8, 20),
+            (w(256), w(512), 41, 4, 8, 20),
+            (w(512), w(1024), 41, 4, 8, 20),
+            (w(1024), w(1024), 41, 1, 8, 20),
+            (w(1024), w(1024), 5, 1, 1, 2),
+        ]
+        for i, (ic, oc, k, s, g, p) in enumerate(layout):
+            x = WNConv1d(ic, oc, k, stride=s, padding=p, groups=g,
+                         name='conv_%d' % i)(x)
+            x = nn.leaky_relu(x, 0.1)
+            features.append(x)
+        x = WNConv1d(w(1024), 1, 3, padding=1, name='conv_post')(x)
+        features.append(x)
+        return x.reshape(n, -1), features
+
+
+@register_model('hifi_gan_mpd')
+class MultiPeriodDiscriminator(nn.Module):
+    """Period discriminators at the paper's prime periods."""
+
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    channels: Sequence[int] = (32, 128, 512, 1024)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        outs = []
+        for p in self.periods:
+            outs.append(PeriodDiscriminator(
+                p, channels=tuple(self.channels), name='period_%d' % p)(x))
+        return outs   # list of (score, features)
+
+
+@register_model('hifi_gan_msd')
+class MultiScaleDiscriminator(nn.Module):
+    """Scale discriminators on the wave and 2 average-pooled octaves."""
+
+    n_scales: int = 3
+    width: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        outs = []
+        for i in range(self.n_scales):
+            if i > 0:
+                x = nn.avg_pool(x.swapaxes(1, 2), (4,), strides=(2,),
+                                padding=((2, 2),)).swapaxes(1, 2)
+            outs.append(ScaleDiscriminator(width=self.width,
+                                           name='scale_%d' % i)(x))
+        return outs
+
+
+@register_model_architecture('hifi_gan_mpd', 'hifi_gan_mpd_base')
+def hifi_gan_mpd_base():
+    return {'periods': (2, 3, 5, 7, 11), 'channels': (32, 128, 512, 1024)}
+
+
+@register_model_architecture('hifi_gan_mpd', 'hifi_gan_mpd_small')
+def hifi_gan_mpd_small():
+    return {'periods': (2, 3), 'channels': (8, 16)}
+
+
+@register_model_architecture('hifi_gan_msd', 'hifi_gan_msd_base')
+def hifi_gan_msd_base():
+    return {'n_scales': 3, 'width': 1.0}
+
+
+@register_model_architecture('hifi_gan_msd', 'hifi_gan_msd_small')
+def hifi_gan_msd_small():
+    return {'n_scales': 2, 'width': 0.0625}

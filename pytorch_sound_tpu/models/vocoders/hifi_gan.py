@@ -47,11 +47,13 @@ class WNConv1d(nn.Module):
     stride: int = 1
     dilation: int = 1
     padding: int = 0
+    groups: int = 1
     use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        shape = (self.out_channels, self.in_channels, self.kernel_size)
+        shape = (self.out_channels, self.in_channels // self.groups,
+                 self.kernel_size)
         if self.use_weight_norm:
             v = self.param('v', _normal_init(), shape)
             g = self.param('g', lambda key, s: jnp.linalg.norm(
@@ -62,7 +64,8 @@ class WNConv1d(nn.Module):
             weight = self.param('weight', _normal_init(), shape)
         bias = self.param('bias', nn.initializers.zeros, (self.out_channels,))
         return conv1d(x, weight, bias, stride=self.stride,
-                      padding=self.padding, dilation=self.dilation)
+                      padding=self.padding, dilation=self.dilation,
+                      groups=self.groups)
 
 
 class WNConvTranspose1d(nn.Module):

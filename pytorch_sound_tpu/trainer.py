@@ -171,6 +171,7 @@ class Trainer:
         self._profiling = False
         self._step_times = []
         self._last_step_time = None
+        self._warned_channels = set()
 
     # ------------------------------------------------------------------ user API
 
@@ -428,16 +429,24 @@ class Trainer:
             if log_type != LogType.SCALAR and isinstance(value, jnp.ndarray):
                 value = to_numpy(value)
             name = '{}/{}'.format(tag, key)
-            if log_type == LogType.IMAGE:
-                self.writer.add_image(name, imshow_to_buf(value), global_step=step)
-            elif log_type == LogType.AUDIO:
-                self.writer.add_audio(name, value, global_step=step, sample_rate=self.sr)
-            elif log_type == LogType.SCALAR:
-                self.writer.add_scalar(name, float(np.asarray(value)), global_step=step)
-            elif log_type == LogType.PLOT:
-                self.writer.add_image(name, plot_to_buf(value), global_step=step)
-            elif log_type == LogType.TEXT:
-                self.writer.add_text(name, value, global_step=step)
+            try:
+                if log_type == LogType.IMAGE:
+                    self.writer.add_image(name, imshow_to_buf(value), global_step=step)
+                elif log_type == LogType.AUDIO:
+                    self.writer.add_audio(name, value, global_step=step,
+                                          sample_rate=self.sr)
+                elif log_type == LogType.SCALAR:
+                    self.writer.add_scalar(name, float(np.asarray(value)),
+                                           global_step=step)
+                elif log_type == LogType.PLOT:
+                    self.writer.add_image(name, plot_to_buf(value), global_step=step)
+                elif log_type == LogType.TEXT:
+                    self.writer.add_text(name, value, global_step=step)
+            except (ImportError, ModuleNotFoundError) as e:
+                # e.g. tensorboardX audio encoding needs soundfile; log once
+                if name not in self._warned_channels:
+                    self._warned_channels.add(name)
+                    log('tensorboard channel {} unavailable: {!r}'.format(name, e))
 
     # ------------------------------------------------------------------ data plumbing
 

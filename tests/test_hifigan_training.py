@@ -1,0 +1,80 @@
+"""HiFi-GAN adversarial training smoke tests (small discriminators, CPU)."""
+
+import os
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pytorch_sound_tpu.examples.hifi_gan import HiFiGANTrainer
+from pytorch_sound_tpu.models import build_model
+import pytorch_sound_tpu.models.vocoders.discriminators  # noqa: F401
+import pytorch_sound_tpu.models.vocoders.hifi_gan  # noqa: F401
+from pytorch_sound_tpu.ops import gan as gan_ops
+
+
+def test_discriminator_shapes():
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal((2, 1, 2048)),
+                      dtype=jnp.float32)
+    mpd = build_model('hifi_gan_mpd_small')
+    params = mpd.init(jax.random.PRNGKey(0), wav)
+    outs = mpd.apply(params, wav)
+    assert len(outs) == 2   # two periods in the small arch
+    for score, feats in outs:
+        assert score.ndim == 2 and score.shape[0] == 2
+        assert len(feats) == 4   # 2 stages + top + post
+
+    msd = build_model('hifi_gan_msd_small')
+    params = msd.init(jax.random.PRNGKey(1), wav)
+    outs = msd.apply(params, wav)
+    assert len(outs) == 2   # two scales
+    for score, feats in outs:
+        assert score.shape[0] == 2 and len(feats) == 8
+
+
+def test_gan_losses_behave():
+    rng = np.random.default_rng(1)
+    real = [(jnp.ones((2, 10)), [jnp.ones((2, 4, 8))])]
+    fake = [(jnp.zeros((2, 10)), [jnp.zeros((2, 4, 8))])]
+    # perfect discriminator: D(real)=1, D(fake)=0 -> disc loss 0
+    assert float(gan_ops.discriminator_loss(real, fake)) == 0.0
+    # generator fooled nothing -> adversarial loss 1 per sub-disc
+    assert float(gan_ops.generator_adversarial_loss(fake)) == 1.0
+    assert float(gan_ops.feature_matching_loss(real, fake)) == 1.0
+
+
+@pytest.fixture(scope='module')
+def gan_trainer(tmp_path_factory):
+    def loader():
+        rng = np.random.default_rng(2)
+        t = np.arange(2048) / 22050
+        for _ in range(4):
+            f0 = rng.uniform(100, 300)
+            wav = (0.4 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+            yield [np.stack([wav, wav * 0.8])]
+
+    save_dir = str(tmp_path_factory.mktemp('gan'))
+    gen = build_model('hifi_gan_v3', extra_kwargs={
+        'upsample_initial_channel': 32})
+    trainer = HiFiGANTrainer(
+        gen, build_model('hifi_gan_mpd_small'), build_model('hifi_gan_msd_small'),
+        optax.adamw(2e-4), optax.adamw(2e-4),
+        list(loader()), list(loader()),
+        max_step=2, valid_max_step=1, save_interval=2, log_interval=1,
+        save_dir=save_dir, save_prefix='gan_test', seed=9)
+    return trainer, save_dir
+
+
+def test_hifigan_gan_step(gan_trainer):
+    trainer, save_dir = gan_trainer
+    best = trainer.run()
+    assert np.isfinite(best)
+    # params exist for all three groups and were updated jointly
+    assert set(trainer.params.keys()) == {'gen', 'mpd', 'msd'}
+    ckpt_dir = os.path.join(save_dir, 'models', 'gan_test', 'Generator')
+    assert os.path.exists(os.path.join(ckpt_dir, 'step_000002.chkpt'))
