@@ -62,7 +62,8 @@ def _constants(sample_rate: int, n_fft: int, win_length: int, n_mels: int,
 
 def _kernel(wav_ref, cos_ref, sin_ref, mel_ref, out_ref, scratch, sem,
             *, hop_length: int, n_fft: int, padded_len: int, span_rows: int,
-            log_offset: float, lo: float, hi: float, precision):
+            log_offset: float, lo: float, hi: float, power_eps: float,
+            log_floor: float, precision):
     b = pl.program_id(0)
     tile = pl.program_id(1)
 
@@ -88,11 +89,14 @@ def _kernel(wav_ref, cos_ref, sin_ref, mel_ref, out_ref, scratch, sem,
                  precision=precision)
     im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32,
                  precision=precision)
-    mag = jnp.sqrt(re * re + im * im)
+    mag = jnp.sqrt(re * re + im * im + power_eps)
 
     mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32,
                   precision=precision)
-    out = jnp.log(mel + log_offset)
+    if log_floor > 0.0:     # HiFi-GAN convention: log(clamp(mel, floor))
+        out = jnp.log(jnp.maximum(mel, log_floor))
+    else:                   # LogMelSpectrogram convention: log(mel + offset)
+        out = jnp.log(mel + log_offset)
     out = jnp.clip(out, lo, hi)
     out_ref[...] = out[None]
 
@@ -102,7 +106,9 @@ def fused_log_mel(wav: jnp.ndarray, sample_rate: int = 22050, mel_size: int = 80
                   min_db: Optional[float] = None, max_db: Optional[float] = None,
                   mel_min: float = 0.0, mel_max: Optional[float] = None,
                   log_offset: float = 1e-6, precision: str = 'highest',
-                  interpret: Optional[bool] = None) -> jnp.ndarray:
+                  interpret: Optional[bool] = None, pad: Optional[int] = None,
+                  pad_mode: str = 'reflect', power_eps: float = 0.0,
+                  log_floor: float = 0.0) -> jnp.ndarray:
     """Fused log-mel: wav (B, T) -> (B, mel_size, n_frames).
 
     Same numerics as ``ops.mel.log_mel_spectrogram`` at matching arguments
@@ -120,10 +126,12 @@ def fused_log_mel(wav: jnp.ndarray, sample_rate: int = 22050, mel_size: int = 80
         'fused kernel supports the n_fft==win, hop | n_fft geometry'
     b, t = wav.shape
 
-    # centered reflect pad, then zero-pad so every tile has a full wav span;
-    # padded_len is a 1024-multiple so flattened DMA offsets satisfy Mosaic's
-    # 1D HBM tiling
-    wav = jnp.pad(wav, [(0, 0), (n_fft // 2, n_fft // 2)], mode='reflect')
+    # reflect pad (centered by default; pass pad=(n_fft-hop)//2 for the
+    # HiFi-GAN convention), then zero-pad so every tile has a full wav span;
+    # padded_len is sublane-tiled so flattened DMA offsets satisfy Mosaic
+    if pad is None:
+        pad = n_fft // 2
+    wav = jnp.pad(wav, [(0, 0), (pad, pad)], mode=pad_mode)
     n_frames = 1 + (wav.shape[1] - n_fft) // hop_length
     n_tiles = max(1, -(-n_frames // TILE_FRAMES))
     # span in hop-rows, rounded to the 2D sublane tiling (8)
@@ -143,7 +151,8 @@ def fused_log_mel(wav: jnp.ndarray, sample_rate: int = 22050, mel_size: int = 80
     kernel = functools.partial(
         _kernel, hop_length=hop_length, n_fft=n_fft,
         padded_len=padded_len, span_rows=span_rows,
-        log_offset=log_offset, lo=lo, hi=hi, precision=prec)
+        log_offset=log_offset, lo=lo, hi=hi, power_eps=power_eps,
+        log_floor=log_floor, precision=prec)
 
     wav = wav.reshape(-1, hop_length)   # hop-row view over all batch rows
     out = pl.pallas_call(
@@ -176,3 +185,16 @@ def fused_log_mel(wav: jnp.ndarray, sample_rate: int = 22050, mel_size: int = 80
     )(wav, cos_b, sin_b, mel_pad)
 
     return out[:, :n_frames, :mel_size].swapaxes(1, 2)
+
+
+def fused_hifigan_mel(wav: jnp.ndarray, sampling_rate: int = 22050,
+                      n_fft: int = 1024, window_size: int = 1024,
+                      hop_size: int = 256, num_mels: int = 80,
+                      fmin: float = 0.0, fmax: Optional[float] = 8000.0,
+                      **kwargs) -> jnp.ndarray:
+    """Fused-kernel version of ``ops.mel.hifigan_mel_spectrogram``:
+    (n_fft-hop)//2 reflect pad, sqrt(power + 1e-9), log(clamp(mel, 1e-5))."""
+    return fused_log_mel(
+        wav, sampling_rate, num_mels, n_fft, window_size, hop_size,
+        min_db=None, max_db=None, mel_min=fmin, mel_max=fmax,
+        pad=(n_fft - hop_size) // 2, power_eps=1e-9, log_floor=1e-5, **kwargs)

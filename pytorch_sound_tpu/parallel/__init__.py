@@ -10,4 +10,4 @@ from pytorch_sound_tpu.parallel.mesh import (batch_sharding, make_mesh,
 from pytorch_sound_tpu.parallel.prefetch import prefetch_to_device
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated_sharding',
-           'prefetch_to_device']
+           'prefetch_to_device', 'data']

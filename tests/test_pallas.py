@@ -48,3 +48,13 @@ def test_fused_logmel_jittable():
                                         s.WIN_LENGTH, s.HOP_LENGTH, **KW))
     out = f(wav)
     np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(wav)), atol=1e-4)
+
+
+def test_fused_hifigan_mel_matches_xla_path():
+    from pytorch_sound_tpu.ops.pallas.logmel import fused_hifigan_mel
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.standard_normal((2, 19137)).astype(np.float32) * 0.2)
+    out_p = fused_hifigan_mel(wav)
+    out_x = mel_ops.hifigan_mel_spectrogram(wav)
+    assert out_p.shape == out_x.shape
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-4)

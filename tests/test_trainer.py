@@ -123,3 +123,22 @@ def test_scheduler_chained(tmp_path):
     t = make_trainer(tmp_path, max_step=8, scheduler=sched)
     t.run()
     assert t.step == 8
+
+
+def test_multihost_data_helpers():
+    """Single-process behavior of the multi-host helpers (process_count=1),
+    plus explicit-index sharding math."""
+    from pytorch_sound_tpu.parallel.data import (global_batches,
+                                                 process_shard_indices)
+    from pytorch_sound_tpu.parallel import make_mesh
+
+    # strided split covers all rows exactly once across hosts
+    parts = [process_shard_indices(10, pi, 4) for pi in range(4)]
+    all_idx = sorted(int(i) for p in parts for i in p)
+    assert all_idx == list(range(10))
+
+    mesh = make_mesh()
+    batches = [[np.ones((8, 4), np.float32), np.arange(8)]]
+    (out,) = list(global_batches(batches, mesh))
+    assert out[0].shape == (8, 4)
+    assert len(out[0].sharding.device_set) == 8   # sharded over the mesh

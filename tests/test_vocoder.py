@@ -125,3 +125,27 @@ def test_streaming_decode_matches_full():
     short = np.asarray(iface.decode_streaming(mel[..., :64], chunk_frames=128))
     np.testing.assert_allclose(short, np.asarray(iface.decode(mel[..., :64])),
                                atol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.exists(V2_MSGPACK),
+                    reason='bundled v2 checkpoint not converted')
+def test_encode_decode_cycle_consistency():
+    """Quality regression: re-encoding decoded audio reproduces the mel the
+    vocoder was driven with (the pretrained checkpoint's core contract)."""
+    iface = InterfaceHifiGAN('hifi_gan_v2')
+    sr = AudioParameters.sampling_rate
+    t = np.arange(2 * sr) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)
+           * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)[None]
+    mel = iface.encode(wav)
+    out = iface.decode(mel)
+    mel_cycle = iface.encode(np.asarray(out)[:, 0, :])
+    n = min(mel.shape[-1], mel_cycle.shape[-1]) - 4
+    a = np.asarray(mel[..., 2:n])
+    b = np.asarray(mel_cycle[..., 2:n])
+    # a pure AM tone is out-of-domain for a speech vocoder, so exact mel
+    # reconstruction is not expected; high mel correlation + bounded error
+    # still catches gross breakage (wrong params/scale give corr ~ 0)
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.85, corr
+    assert float(np.median(np.abs(a - b))) < 2.0
