@@ -135,6 +135,15 @@ class LogMelSpectrogram:
         self.mel_max = mel_max
 
     def __call__(self, wav: jnp.ndarray, log_offset: float = 1e-6) -> jnp.ndarray:
+        # fused Pallas path on TPU when the geometry fits (hop | n_fft == win)
+        if (jax.default_backend() == 'tpu' and wav.ndim == 2
+                and self.win_length == self.n_fft
+                and self.n_fft % self.hop_length == 0):
+            from pytorch_sound_tpu.ops.pallas.logmel import fused_log_mel
+            return fused_log_mel(
+                wav, self.sample_rate, self.mel_size, self.n_fft,
+                self.win_length, self.hop_length, self.min_db, self.max_db,
+                self.mel_min, self.mel_max, log_offset=log_offset)
         return mel_ops.log_mel_spectrogram(
             wav, self.sample_rate, self.mel_size, self.n_fft, self.win_length,
             self.hop_length, self.min_db, self.max_db, self.mel_min, self.mel_max,
