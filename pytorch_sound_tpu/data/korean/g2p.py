@@ -15,7 +15,6 @@ Behavioral parity target: `/root/reference/pytorch_sound/data/korean/g2p.py`
   ``assets/korean_rules.txt``.
 """
 
-import math
 import os
 import re
 from typing import List, Tuple

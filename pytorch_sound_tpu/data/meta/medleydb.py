@@ -10,7 +10,6 @@ import os
 from typing import Dict, List, Tuple
 
 import numpy as np
-import pandas as pd
 import yaml
 
 from pytorch_sound_tpu.data.dataset import SpeechDataLoader

@@ -4,7 +4,7 @@ Parity target: `/root/reference/pytorch_sound/data/meta/valenti.py` — the
 VoiceBank layout with a separate corpus root; identical columns and pipeline.
 """
 
-from typing import List, Tuple
+from typing import Tuple
 
 from pytorch_sound_tpu.data.dataset import SpeechDataLoader
 from pytorch_sound_tpu.data.meta.base import make_loaders

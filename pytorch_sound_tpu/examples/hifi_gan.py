@@ -13,7 +13,6 @@ Run: ``python -m pytorch_sound_tpu.examples.hifi_gan vctk meta_dir save_dir``
 """
 
 import importlib
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,7 @@ import pytorch_sound_tpu.models.vocoders.discriminators  # noqa: F401
 import pytorch_sound_tpu.models.vocoders.hifi_gan  # noqa: F401
 from pytorch_sound_tpu.ops import gan as gan_ops
 from pytorch_sound_tpu.ops import mel as mel_ops
-from pytorch_sound_tpu.trainer import LogType, Trainer, _meta_to_host
+from pytorch_sound_tpu.trainer import LogType, Trainer
 
 MEL_KW = dict(sampling_rate=22050, n_fft=1024, window_size=1024, hop_size=256,
               num_mels=80, fmin=0.0, fmax=8000.0)

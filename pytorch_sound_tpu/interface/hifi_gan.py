@@ -123,8 +123,7 @@ class InterfaceHifiGAN(Interface):
     @staticmethod
     def _load_params(path: str):
         if path.endswith('.pt'):
-            from pytorch_sound_tpu.scripts.convert_hifigan import (convert_file,
-                                                                   convert_state_dict)
+            from pytorch_sound_tpu.scripts.convert_hifigan import convert_state_dict
             import torch
             chkpt = torch.load(path, map_location='cpu')
             return convert_state_dict(chkpt.get('generator', chkpt))

@@ -9,7 +9,6 @@ TPU notes: operates on (N, F, T) magnitudes, computed internally as (N, T, F)
 so the channel dim (F=513) rides the MXU through 1-d convs; all shapes static.
 """
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ spatial dims) with stride-2 downsampling — everything static-shaped; inputs
 are padded to a multiple of 2^depth frames by the trainer.
 """
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

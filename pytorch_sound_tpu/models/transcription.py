@@ -7,7 +7,6 @@ no transcription model; this is the standard onsets-and-frames-style frame
 stack (conv + BiLSTM-free, TPU-friendly dilated conv context).
 """
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

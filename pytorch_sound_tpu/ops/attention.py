@@ -14,7 +14,6 @@ mesh axis and wrap the call in ``shard_map``; the per-device partial
 ``combine_attention_partials``), which is exactly the ring-attention reduction.
 """
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -8,7 +8,7 @@ replacement for the reference's single-process DataLoader workers
 (SURVEY.md §2.2 communication-backend row).
 """
 
-from typing import Iterable, Iterator, Optional, Sequence
+from typing import Iterable, Iterator, Optional
 
 import jax
 import numpy as np

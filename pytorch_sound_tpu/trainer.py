@@ -38,8 +38,7 @@ import glob
 import os
 import re
 from collections import defaultdict
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -319,6 +318,9 @@ class Trainer:
                 pass
 
     def validate(self, step: int):
+        if self.valid_dataset is None:
+            log('no valid dataset configured; validation skipped')
+            return
         loss = 0.0
         stat = defaultdict(float)
 
