@@ -58,6 +58,25 @@ class DSD100Trainer(Trainer):
         return self.model.init(rng, self._magnitude(batch[0]))
 
 
+def separate(model, params, mixture: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference: (N, T) mixture -> (voice, background) waveforms.
+
+    Masks the mixture magnitude and reconstructs both sources with the
+    mixture phase through the exact iSTFT. Jit-compatible.
+    """
+    real, imag = stft_ops.stft(mixture, settings.N_FFT, settings.HOP_LENGTH,
+                               settings.WIN_LENGTH)
+    mag = jnp.sqrt(real * real + imag * imag)
+    mask = model.apply(params, mag)
+
+    def recon(m):
+        return stft_ops.istft(m * real, m * imag, settings.N_FFT,
+                              settings.HOP_LENGTH, settings.WIN_LENGTH,
+                              length=mixture.shape[-1])
+
+    return recon(mask), recon(1.0 - mask)
+
+
 def main(meta_dir: str, save_dir: str, batch_size: int = 4, num_workers: int = 2,
          fix_len: int = 65536, max_step: int = 20000, valid_max_step: int = 20,
          save_interval: int = 1000, log_interval: int = 50, lr: float = 1e-4,

@@ -53,6 +53,22 @@ class VoiceBankTrainer(Trainer):
         return self.model.init(rng, self._magnitude(batch[0]))
 
 
+def enhance(model, params, noisy: jnp.ndarray) -> jnp.ndarray:
+    """Inference: denoise waveforms (N, T) -> (N, T).
+
+    Applies the trained magnitude mask and reconstructs with the noisy phase
+    through the exact iSTFT — the standard spectral-masking deployment path.
+    Jit-compatible (wrap in jax.jit for repeated use).
+    """
+    real, imag = stft_ops.stft(noisy, settings.N_FFT, settings.HOP_LENGTH,
+                               settings.WIN_LENGTH)
+    mag = jnp.sqrt(real * real + imag * imag)
+    mask = model.apply(params, mag)
+    return stft_ops.istft(mask * real, mask * imag, settings.N_FFT,
+                          settings.HOP_LENGTH, settings.WIN_LENGTH,
+                          length=noisy.shape[-1])
+
+
 def main(meta_dir: str, save_dir: str, batch_size: int = 8, num_workers: int = 2,
          fix_len: int = 32768, max_step: int = 10000, valid_max_step: int = 20,
          save_interval: int = 1000, log_interval: int = 50, lr: float = 2e-4,

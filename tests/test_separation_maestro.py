@@ -139,3 +139,26 @@ def test_maestro_end_to_end(maestro_meta_dir, tmp_path):
         save_prefix='maestro', sr=44100, seed=6)
     best = t.run()
     assert np.isfinite(best)
+
+
+def test_separate_inference(dsd_meta_dir, tmp_path):
+    """Separation inference: masks sum to the mixture reconstruction."""
+    from pytorch_sound_tpu.examples.dsd100 import DSD100Trainer, separate
+    train_loader, valid_loader = dsd_datasets(
+        dsd_meta_dir, batch_size=2, num_workers=0, fix_len=16384,
+        pad_multiple=16384)
+    t = DSD100Trainer(
+        build_model('spec_unet_small'), optax.adam(1e-3),
+        train_loader, valid_loader, max_step=2, valid_max_step=1,
+        save_interval=10, log_interval=10, save_dir=str(tmp_path),
+        save_prefix='sep_inf', sr=44100, seed=8)
+    t.run()
+
+    rng = np.random.default_rng(9)
+    mix = jnp.asarray(rng.standard_normal((1, 16384)).astype(np.float32) * 0.2)
+    voice, background = separate(t.model, t.params, mix)
+    assert voice.shape == background.shape == (1, 16384)
+    # complementary masks: voice + background reconstruct the mixture
+    rec = np.asarray(voice + background)
+    np.testing.assert_allclose(rec[0, 1024:-1024], np.asarray(mix)[0, 1024:-1024],
+                               atol=1e-3)
