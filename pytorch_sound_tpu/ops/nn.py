@@ -15,8 +15,13 @@ _DN = ('NCH', 'OIH', 'NCH')   # torch-style layouts for lax conv dimension_numbe
 
 
 def _auto_precision(x: jnp.ndarray):
-    """HIGHEST for f32 inputs (torch-parity numerics); DEFAULT for bf16
-    compute, where multi-pass emulation would negate the dtype's MXU speedup."""
+    """HIGHEST for f32 inputs (torch-parity numerics); DEFAULT for bf16.
+
+    Measured on the v5e/axon XLA build: f32+HIGHEST is the FAST path for
+    these 1-d convs (4.4ms per batch-32 HiFi-GAN decode); both f32+DEFAULT
+    (184ms) and bf16 (28ms) fall off the optimized conv lowering. Don't
+    "optimize" this to lower precision without re-measuring.
+    """
     if x.dtype == jnp.bfloat16:
         return jax.lax.Precision.DEFAULT
     return jax.lax.Precision.HIGHEST
