@@ -1,0 +1,73 @@
+"""Ring attention: exact softmax attention over a sequence-sharded mesh.
+
+Sequence/context parallelism for long audio (SURVEY.md §2.2 SP/CP row — new
+capability; the reference controlled length purely data-side). Q, K, V are
+sharded along the sequence axis across a mesh axis; each device computes
+attention partials against its local K/V shard, then K/V shards rotate around
+the ring with ``lax.ppermute`` (ICI neighbor exchange) while partials merge
+with the associative online-softmax combine. Communication overlaps the next
+partial's compute under XLA's scheduler, peak memory is O(T_local x T_local),
+and the result is exact (verified against dense attention on an 8-device
+virtual mesh).
+"""
+
+from functools import partial as _partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pytorch_sound_tpu.ops.attention import combine_attention_partials
+
+try:   # jax >= 0.4.35
+    from jax.experimental.shard_map import shard_map
+except ImportError:   # newer location
+    from jax.shard_map import shard_map
+
+
+def _local_partials(q, k, v, scale):
+    """(acc, running_max, denom) of q against one K/V shard."""
+    s = jnp.einsum('nhqd,nhkd->nhqk', q, k) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    acc = jnp.einsum('nhqk,nhkd->nhqd', p, v)
+    return acc, m, jnp.sum(p, axis=-1, keepdims=True)
+
+
+def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   mesh: Mesh, axis: str = 'seq') -> jnp.ndarray:
+    """Exact attention with Q/K/V sequence-sharded over ``axis`` of ``mesh``.
+
+    :param q, k, v: (N, H, T, D); T must divide by the axis size
+    :return: (N, H, T, D), sharded like q
+    """
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    axis_size = mesh.shape[axis]
+    assert q.shape[2] % axis_size == 0, 'sequence must divide the mesh axis'
+
+    spec = P(None, None, axis, None)
+
+    @_partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+              out_specs=spec, check_rep=False)
+    def _ring(q_loc, k_loc, v_loc):
+        state = _local_partials(q_loc, k_loc, v_loc, scale)
+
+        perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
+
+        def body(_, carry):
+            state, ks, vs = carry
+            ks = lax.ppermute(ks, axis, perm)
+            vs = lax.ppermute(vs, axis, perm)
+            state = combine_attention_partials(state,
+                                               _local_partials(q_loc, ks, vs, scale))
+            return state, ks, vs
+
+        (acc, _, denom), _, _ = lax.fori_loop(
+            1, axis_size, body, (state, k_loc, v_loc))
+        return acc / jnp.maximum(denom, 1e-30)
+
+    sharding = NamedSharding(mesh, spec)
+    return _ring(jax.device_put(q, sharding), jax.device_put(k, sharding),
+                 jax.device_put(v, sharding))

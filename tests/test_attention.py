@@ -98,3 +98,18 @@ def test_blockwise_backend_dispatch():
     out_lax = blockwise_attention(q, k, v, block_size=32, backend='lax')
     out_pal = blockwise_attention(q, k, v, block_size=32, backend='pallas')
     np.testing.assert_allclose(np.asarray(out_lax), np.asarray(out_pal), atol=1e-5)
+
+
+def test_ring_attention_matches_dense_on_mesh():
+    """Exact sequence-parallel attention over the 8-device virtual mesh."""
+    from pytorch_sound_tpu.parallel import make_mesh
+    from pytorch_sound_tpu.parallel.ring_attention import ring_attention
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(axis_names=('seq',))
+    rng = np.random.default_rng(6)
+    q, k, v = _qkv(rng, n=2, h=2, t=128, d=16)   # 16 timesteps per device
+    out_r = ring_attention(q, k, v, mesh, axis='seq')
+    assert len(out_r.sharding.device_set) == 8   # stays sequence-sharded
+    out_d = _dense_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_d), atol=1e-5)
