@@ -1,23 +1,13 @@
-"""Loader smoke CLI (parity: `/root/reference/tests/test_dsd100.py`).
+"""DSD100 loader smoke CLI (parity: `/root/reference/tests/test_dsd100.py`).
 
     python tests/loaders_smoke/test_dsd100.py <meta_dir>
 """
 
-from tqdm import tqdm
-
-from pytorch_sound_tpu.data.meta.dsd100 import get_datasets
+from common import iterate_dataset
 
 
 def test_dsd100(meta_dir: str):
-    """Build both loaders and iterate every batch; success = no exception."""
-    train_loader, valid_loader = get_datasets(meta_dir, 4, 4, 1)
-    print('Loop train datasets')
-    for _ in tqdm(train_loader):
-        pass
-    print('Loop valid datasets')
-    for _ in tqdm(valid_loader):
-        pass
-    print('All of the dataset is loaded successfully.')
+    iterate_dataset('dsd100', meta_dir, batch_size=4)
 
 
 if __name__ == '__main__':

@@ -1,24 +1,13 @@
-"""Loader smoke CLI (parity: `/root/reference/tests/test_vctk.py`) — iterates a
-real preprocessed VCTK dataset to completion. Run manually:
+"""VCTK loader smoke CLI (parity: `/root/reference/tests/test_vctk.py`).
 
     python tests/loaders_smoke/test_vctk.py <meta_dir>
 """
 
-from tqdm import tqdm
-
-from pytorch_sound_tpu.data.meta.vctk import get_datasets
+from common import iterate_dataset
 
 
 def test_vctk(meta_dir: str):
-    """Build both loaders and iterate every batch; success = no exception."""
-    train_loader, valid_loader = get_datasets(meta_dir, 32, 4, 1)
-    print('Loop train datasets')
-    for _ in tqdm(train_loader):
-        pass
-    print('Loop valid datasets')
-    for _ in tqdm(valid_loader):
-        pass
-    print('All of the dataset is loaded successfully.')
+    iterate_dataset('vctk', meta_dir, batch_size=32)
 
 
 if __name__ == '__main__':
