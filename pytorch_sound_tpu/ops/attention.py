@@ -40,10 +40,12 @@ def blockwise_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if backend == 'auto':
         backend = 'pallas' if jax.default_backend() == 'tpu' else 'lax'
     if backend == 'pallas':
-        from pytorch_sound_tpu.ops.pallas.flash_attention import flash_attention
-        return flash_attention(q, k, v, mask=mask,
-                               block_q=min(block_size, 128),
-                               block_kv=block_size)
+        # trainable variant: Pallas forward AND backward kernels (custom_vjp)
+        from pytorch_sound_tpu.ops.pallas.flash_attention import (
+            flash_attention_trainable)
+        key_valid = None if mask is None else (~mask).astype(jnp.float32)
+        return flash_attention_trainable(q, k, v, key_valid,
+                                         min(block_size, 128), block_size)
     n, h, tq, d = q.shape
     tk = k.shape[2]
     scale = 1.0 / (d ** 0.5)

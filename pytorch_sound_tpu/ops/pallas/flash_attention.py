@@ -124,3 +124,282 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(qf, kf, vf, key_valid)
 
     return out.reshape(n, h, tq_pad, d_pad)[:, :, :tq, :d]
+
+
+# ---------------------------------------------------------------------------
+# Backward pass (custom VJP): separate dKV and dQ kernels, as in the
+# production TPU flash implementations. Residuals are O and the per-row
+# logsumexp; softmax tiles are recomputed as p = exp(s - lse).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_res_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
+                    m_scr, l_scr, acc_scr, *, scale: float, kv_steps: int):
+    """Forward kernel that also writes the logsumexp residual."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    valid = valid_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(valid > 0.5, s, NEG_INF)
+
+    m_prev = m_scr[...]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new[:, :1])
+
+    l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
+        jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
+    acc_scr[...] = acc_scr[...] * alpha[:, :acc_scr.shape[-1]] + jnp.dot(
+        p, v, preferred_element_type=jnp.float32)
+    m_scr[...] = m_new
+
+    @pl.when(j == kv_steps - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[...], 1e-30)
+        o_ref[0] = (acc_scr[...] / denom[:, :1]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[...] + jnp.log(denom)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, di_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, scale: float, q_steps: int):
+    """Accumulate dK/dV for one KV block while scanning Q blocks."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    di = di_ref[0][:, :1]
+    valid = valid_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(valid > 0.5, s, NEG_INF)
+    p = jnp.exp(s - lse)                                      # (bq, bk)
+
+    dv_scr[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - di) * scale
+    dk_scr[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+    @pl.when(i == q_steps - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, di_ref,
+                   dq_ref, dq_scr, *, scale: float, kv_steps: int):
+    """Accumulate dQ for one Q block while scanning KV blocks."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    di = di_ref[0][:, :1]
+    valid = valid_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(valid > 0.5, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - di) * scale
+    dq_scr[...] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(j == kv_steps - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _pad_and_flatten(x, t_pad, d, d_pad):
+    n, h = x.shape[:2]
+    return jnp.pad(x, [(0, 0), (0, 0), (0, t_pad - x.shape[2]),
+                       (0, d_pad - d)]).reshape(n * h, t_pad, d_pad)
+
+
+def _key_valid_mask(mask, n, h, tk, tk_pad):
+    key_valid = (jnp.arange(tk_pad) < tk)[None, :]
+    if mask is not None:
+        key_valid = key_valid & ~jnp.pad(mask, [(0, 0), (0, tk_pad - tk)],
+                                         constant_values=True)
+    key_valid = jnp.broadcast_to(key_valid[:, None, :], (n, h, tk_pad))
+    return key_valid.reshape(n * h, 1, tk_pad).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention_trainable(q, k, v, key_valid_ext,
+                              block_q: int = 128, block_kv: int = 128,
+                              interpret: Optional[bool] = None):
+    """Differentiable flash attention with Pallas forward AND backward kernels.
+
+    ``key_valid_ext``: optional (N, Tk) float {0,1} validity (1 = attend);
+    None = all valid. Same output as :func:`flash_attention`.
+    """
+    out, _ = _flash_fwd_impl(q, k, v, key_valid_ext, block_q, block_kv, interpret)
+    return out
+
+
+def _flash_fwd_impl(q, k, v, key_valid_ext, block_q, block_kv, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    n, h, tq, d = q.shape
+    tk = k.shape[2]
+    scale = 1.0 / (d ** 0.5)
+    d_pad = _round_up(d, LANE)
+    tq_pad = _round_up(tq, block_q)
+    tk_pad = _round_up(tk, block_kv)
+
+    qf = _pad_and_flatten(q, tq_pad, d, d_pad)
+    kf = _pad_and_flatten(k, tk_pad, d, d_pad)
+    vf = _pad_and_flatten(v, tk_pad, d, d_pad)
+    mask = None if key_valid_ext is None else (key_valid_ext < 0.5)
+    valid = _key_valid_mask(mask, n, h, tk, tk_pad)
+
+    kv_steps = tk_pad // block_kv
+    kernel = functools.partial(_fwd_res_kernel, scale=scale, kv_steps=kv_steps)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(n * h, tq_pad // block_q, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANE), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n * h, tq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((n * h, tq_pad, LANE), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANE), jnp.float32),
+            pltpu.VMEM((block_q, LANE), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
+    )(qf, kf, vf, valid)
+    out = o.reshape(n, h, tq_pad, d_pad)[:, :, :tq, :d]
+    return out, (qf, kf, vf, valid, o, lse)
+
+
+def _flash_fwd_rule(q, k, v, key_valid_ext, block_q, block_kv, interpret):
+    out, res = _flash_fwd_impl(q, k, v, key_valid_ext, block_q, block_kv,
+                               interpret)
+    return out, (res, q.shape, k.shape)
+
+
+def _flash_bwd_rule(block_q, block_kv, interpret, saved, dout):
+    (qf, kf, vf, valid, o, lse), q_shape, k_shape = saved
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    n, h, tq, d = q_shape
+    tk = k_shape[2]
+    scale = 1.0 / (d ** 0.5)
+    d_pad = qf.shape[-1]
+    tq_pad = qf.shape[1]
+    tk_pad = kf.shape[1]
+
+    dof = _pad_and_flatten(dout, tq_pad, d, d_pad)
+    # di = rowsum(o * do), broadcast to lanes
+    di = jnp.sum(o * dof, axis=-1, keepdims=True)
+    di = jnp.broadcast_to(di, (n * h, tq_pad, LANE))
+
+    q_steps = tq_pad // block_q
+    kv_steps = tk_pad // block_kv
+
+    dkv_kernel = functools.partial(_bwd_dkv_kernel, scale=scale, q_steps=q_steps)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(n * h, kv_steps, q_steps),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda b, j, i: (b, i, 0)),   # q
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0)),  # k
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0)),  # v
+            pl.BlockSpec((1, 1, block_kv), lambda b, j, i: (b, 0, j)),      # valid
+            pl.BlockSpec((1, block_q, d_pad), lambda b, j, i: (b, i, 0)),   # do
+            pl.BlockSpec((1, block_q, LANE), lambda b, j, i: (b, i, 0)),    # lse
+            pl.BlockSpec((1, block_q, LANE), lambda b, j, i: (b, i, 0)),    # di
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n * h, tk_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n * h, tk_pad, d_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d_pad), jnp.float32),
+            pltpu.VMEM((block_kv, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
+    )(qf, kf, vf, valid, dof, lse, di)
+
+    dq_kernel = functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=kv_steps)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(n * h, tq_pad // block_q, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d_pad), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_kv), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANE), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANE), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n * h, tq_pad, d_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
+    )(qf, kf, vf, valid, dof, lse, di)
+
+    def unflatten(x, t, t_pad):
+        return x.reshape(n, h, t_pad, d_pad)[:, :, :t, :d]
+
+    return (unflatten(dq, tq, tq_pad).astype(jnp.float32),
+            unflatten(dk, tk, tk_pad).astype(jnp.float32),
+            unflatten(dv, tk, tk_pad).astype(jnp.float32),
+            None)
+
+
+flash_attention_trainable.defvjp(_flash_fwd_rule, _flash_bwd_rule)
