@@ -274,3 +274,21 @@ def test_mulaw_ops(batch_wav):
     assert int(q.min()) >= 0 and int(q.max()) <= 255
     back = sound_ops.mulaw_decode(q, 256)
     assert float(jnp.abs(back - x).max()) < 0.04
+
+
+def test_griffin_lim_reconstruction():
+    """Fast-GLA recovers a consistent spectrogram (interior SC < 6%)."""
+    from pytorch_sound_tpu.ops.griffin_lim import griffin_lim
+    sr = 22050
+    tt = np.arange(sr) / sr
+    sig = (0.5 * np.sin(2 * np.pi * 440 * tt)
+           + 0.25 * np.sin(2 * np.pi * 880 * tt)).astype(np.float32)[None]
+    mag = stft_ops.spectrogram_magnitude(jnp.asarray(sig), N_FFT, HOP, WIN)
+    rec = griffin_lim(mag, N_FFT, HOP, WIN, n_iter=100, momentum=0.9,
+                      length=sr, rng=jax.random.PRNGKey(0))
+    assert rec.shape == (1, sr)
+    mag_rec = stft_ops.spectrogram_magnitude(rec, N_FFT, HOP, WIN)
+    a = np.asarray(mag_rec)[..., 4:-4]
+    b = np.asarray(mag)[..., 4:-4]
+    sc = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert sc < 0.06, sc
