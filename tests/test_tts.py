@@ -1,0 +1,84 @@
+"""Transformer-TTS tests: shapes, causality, teacher-forced training, synthesis."""
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pytorch_sound_tpu.models import build_model
+import pytorch_sound_tpu.models.tts  # noqa: F401
+from pytorch_sound_tpu.models.tts import TransformerTTS, synthesize
+
+
+@pytest.fixture(scope='module')
+def small_tts():
+    model = build_model('transformer_tts_small')
+    text = jnp.asarray(np.random.default_rng(0).integers(1, 60, (2, 12)))
+    mel = jnp.asarray(np.random.default_rng(1).standard_normal((2, 80, 20)),
+                      dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), text, mel)
+    return model, params, text, mel
+
+
+def test_tts_shapes(small_tts):
+    model, params, text, mel = small_tts
+    mel_out, stop = model.apply(params, text, mel)
+    assert mel_out.shape == (2, 80, 20)
+    assert stop.shape == (2, 20)
+
+
+def test_tts_decoder_is_causal(small_tts):
+    """Changing future mel frames must not change earlier predictions."""
+    model, params, text, mel = small_tts
+    out1, _ = model.apply(params, text, mel)
+    mel2 = mel.at[:, :, 10:].set(99.0)
+    out2, _ = model.apply(params, text, mel2)
+    np.testing.assert_allclose(np.asarray(out1[:, :, :10]),
+                               np.asarray(out2[:, :, :10]), atol=1e-5)
+    assert np.abs(np.asarray(out1[:, :, 10:]) -
+                  np.asarray(out2[:, :, 10:])).max() > 1e-3
+
+
+def test_tts_text_padding_is_masked(small_tts):
+    """Padding ids (0) in the text must not affect the output."""
+    model, params, _, mel = small_tts
+    base = jnp.asarray([[5, 6, 7, 0, 0, 0]])
+    # same content, different garbage would require nonzero ids; instead
+    # lengthen padding: extra pad columns must leave outputs unchanged
+    longer = jnp.asarray([[5, 6, 7, 0, 0, 0, 0, 0]])
+    out1, _ = model.apply(params, base, mel[:1])
+    out2, _ = model.apply(params, longer, mel[:1])
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_tts_training_smoke(tmp_path):
+    from pytorch_sound_tpu.examples.ljspeech_tts import TTSTrainer
+
+    rng = np.random.default_rng(2)
+    def loader():
+        for _ in range(3):
+            wav = rng.standard_normal((2, 8192)).astype(np.float32) * 0.2
+            text = rng.integers(1, 60, (2, 16)).astype(np.int64)
+            mask = np.ones_like(wav)
+            mask[:, 6000:] = 0
+            yield [wav, text, mask]
+
+    t = TTSTrainer(
+        build_model('transformer_tts_small'), optax.adamw(1e-3),
+        list(loader()), list(loader()), max_step=3, valid_max_step=1,
+        save_interval=3, log_interval=2, save_dir=str(tmp_path),
+        save_prefix='tts', seed=4)
+    best = t.run()
+    assert np.isfinite(best)
+
+
+def test_tts_synthesize(small_tts):
+    model, params, text, _ = small_tts
+    mel = synthesize(model, params, text, max_frames=12)
+    assert mel.shape[0] == 2 and mel.shape[1] == 80
+    assert 1 <= mel.shape[2] <= 11
+    assert np.isfinite(np.asarray(mel)).all()
