@@ -84,6 +84,52 @@ def bench_preprocess(batch: int = 16, seconds: float = 4.0, fused: bool = True):
     return batch / dt
 
 
+def bench_preprocess_e2e(n_files: int = 64, seconds: float = 4.0,
+                         src_sr: int = 48000):
+    """Full BASELINE-config-1 path: wav decode -> resample -> RMS normalize
+    (native C++ batch pipeline) -> on-device fused log-mel. utterances/sec."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from pytorch_sound_tpu import native, settings
+    from pytorch_sound_tpu.ops.mel import log_mel_spectrogram
+    from pytorch_sound_tpu.ops.pallas.logmel import fused_log_mel
+    from pytorch_sound_tpu.utils import wavio
+
+    rng = np.random.default_rng(3)
+    d = tempfile.mkdtemp(prefix='bench_pp_')
+    paths = []
+    for i in range(n_files):
+        p = '%s/%d.wav' % (d, i)
+        wavio.write_wav(p, (0.1 * rng.standard_normal(
+            int(src_sr * seconds))).astype(np.float32), src_sr)
+        paths.append(p)
+
+    target_sr = settings.SAMPLE_RATE
+    pad_len = int(seconds * target_sr) + 256
+    args = (target_sr, settings.MEL_SIZE, settings.N_FFT, settings.WIN_LENGTH,
+            settings.HOP_LENGTH, settings.MIN_DB, settings.MAX_DB,
+            settings.MEL_MIN, settings.MEL_MAX)
+    if jax.default_backend() == 'tpu':
+        mel_fn = jax.jit(lambda w: fused_log_mel(w, *args))
+    else:
+        mel_fn = jax.jit(lambda w: log_mel_spectrogram(w, *args))
+
+    def run_once():
+        if native.available():
+            wavs = native.batch_load(paths, target_sr=target_sr,
+                                     normalize=True, max_seconds=seconds + 1)
+        else:
+            wavs = [wavio.load_wav(p, sr=target_sr)[0] for p in paths]
+        batch = np.stack([np.pad(w[:pad_len], (0, max(0, pad_len - len(w))))
+                          for w in wavs])
+        mel_fn(jnp.asarray(batch)).block_until_ready()
+
+    dt = _timeit(run_once, warmup=1, iters=5)
+    return n_files / dt
+
+
 def bench_trainer(batch: int = 8, fix_len: int = 16384, iters: int = 10):
     """VoiceBank enhancement trainer steps/sec (jitted step, steady state)."""
     import jax
@@ -128,6 +174,7 @@ def main():
     try:
         details['preprocess_utterances_per_sec'] = bench_preprocess(fused=True)
         details['preprocess_utterances_per_sec_xla'] = bench_preprocess(fused=False)
+        details['preprocess_e2e_utterances_per_sec'] = bench_preprocess_e2e()
     except Exception as e:
         details['preprocess_error'] = repr(e)
     try:

@@ -40,12 +40,17 @@ class HiFiGANTrainer(Trainer):
     """
 
     def __init__(self, generator, mpd, msd, gen_optimizer, disc_optimizer,
-                 *args, **kwargs):
+                 *args, generator_warm_start: str = None, **kwargs):
+        """``generator_warm_start``: path to a folded generator msgpack (e.g.
+        the converted bundled checkpoint) to fine-tune from. Note the bundled
+        checkpoints are weight-norm-folded, so warm starts require building
+        the generator with use_weight_norm=False."""
         self.generator = generator
         self.mpd = mpd
         self.msd = msd
         self.gen_optimizer = gen_optimizer
         self.disc_optimizer = disc_optimizer
+        self.generator_warm_start = generator_warm_start
         super().__init__(generator, gen_optimizer, *args, **kwargs)
 
     # -- state ----------------------------------------------------------------
@@ -67,6 +72,14 @@ class HiFiGANTrainer(Trainer):
             self.params = self.init_params(init_rng, batch)
             n = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
             log('HiFi-GAN gen+mpd+msd initialized. Total {} params.'.format(n))
+            if self.generator_warm_start:
+                from flax import serialization
+                with open(self.generator_warm_start, 'rb') as r:
+                    gen_params = serialization.msgpack_restore(r.read())
+                self.params = dict(self.params, gen=serialization.from_state_dict(
+                    self.params['gen'], gen_params))
+                log('generator warm-started from {}'.format(
+                    self.generator_warm_start))
         if self.opt_state is None:
             # per-group optimizer states (gen vs discriminators)
             self.opt_state = {

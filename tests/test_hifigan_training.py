@@ -78,3 +78,30 @@ def test_hifigan_gan_step(gan_trainer):
     assert set(trainer.params.keys()) == {'gen', 'mpd', 'msd'}
     ckpt_dir = os.path.join(save_dir, 'models', 'gan_test', 'Generator')
     assert os.path.exists(os.path.join(ckpt_dir, 'step_000002.chkpt'))
+
+
+def test_generator_warm_start(tmp_path):
+    """GAN fine-tuning from the bundled (folded) generator checkpoint."""
+    from pytorch_sound_tpu.interface.hifi_gan import CHECKPOINTS
+    ckpt = CHECKPOINTS['hifi_gan_v2']
+    if not os.path.exists(ckpt):
+        pytest.skip('bundled checkpoint not converted')
+
+    rng = np.random.default_rng(3)
+    loader = [[rng.standard_normal((2, 2048)).astype(np.float32) * 0.2]]
+    gen = build_model('hifi_gan_v2', extra_kwargs={'use_weight_norm': False})
+    t = HiFiGANTrainer(
+        gen, build_model('hifi_gan_mpd_small'), build_model('hifi_gan_msd_small'),
+        optax.adamw(1e-4), optax.adamw(1e-4), loader, loader,
+        max_step=1, valid_max_step=1, save_interval=10, log_interval=10,
+        save_dir=str(tmp_path), save_prefix='warm', seed=2,
+        generator_warm_start=ckpt)
+    batch = [jnp.asarray(loader[0][0])]
+    t._ensure_initialized(batch)
+    # warm-started weights equal the checkpoint
+    from flax import serialization
+    with open(ckpt, 'rb') as r:
+        ref = serialization.msgpack_restore(r.read())
+    got = serialization.to_state_dict(t.params['gen'])
+    np.testing.assert_allclose(
+        got['params']['conv_pre']['weight'], ref['params']['conv_pre']['weight'])
