@@ -16,6 +16,7 @@ import optax
 from pytorch_sound_tpu import settings
 from pytorch_sound_tpu.data.meta import voice_bank
 from pytorch_sound_tpu.models import build_model
+import pytorch_sound_tpu.models.enhancement  # noqa: F401 (registration)
 from pytorch_sound_tpu.ops import stft as stft_ops
 from pytorch_sound_tpu.trainer import LogType, Trainer
 

@@ -117,7 +117,8 @@ class Trainer:
                  pretrained_path: str = None, sr: int = None,
                  scheduler=None, seed: int = None,
                  params=None, mesh=None, prefetch_size: int = 2,
-                 profile_dir: str = None, profile_steps: Tuple[int, int] = (10, 20)):
+                 profile_dir: str = None, profile_steps: Tuple[int, int] = (10, 20),
+                 remat: bool = False):
         self.pretrained_path = pretrained_path
         self.model = model
         self.scheduler = scheduler
@@ -171,6 +172,7 @@ class Trainer:
         self._step_times = []
         self._last_step_time = None
         self._warned_channels = set()
+        self.remat = remat
 
     # ------------------------------------------------------------------ user API
 
@@ -238,7 +240,14 @@ class Trainer:
     def _train_step(self, params, opt_state, batch, is_logging: bool):
         def loss_fn(p):
             loss, meta = self.forward(p, *batch, is_logging=is_logging)
-            return loss, meta
+            # wrap here so every output is a valid JAX type (LogType rides as
+            # static pytree aux-data) — required by jax.checkpoint below
+            return loss, _wrap_meta(meta)
+
+        if self.remat:
+            # rematerialize forward activations in the backward pass
+            # (jax.checkpoint): trades FLOPs for HBM on long sequences
+            loss_fn = jax.checkpoint(loss_fn)
 
         (loss, meta), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = self._clip_grads(grads)
@@ -252,7 +261,7 @@ class Trainer:
         new_opt_state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old) if isinstance(new, jnp.ndarray) else new,
             new_opt_state, opt_state)
-        return new_params, new_opt_state, loss, _wrap_meta(meta)
+        return new_params, new_opt_state, loss, meta
 
     def _eval_step(self, params, batch):
         loss, meta = self.forward(params, *batch, is_logging=True)

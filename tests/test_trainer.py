@@ -142,3 +142,14 @@ def test_multihost_data_helpers():
     (out,) = list(global_batches(batches, mesh))
     assert out[0].shape == (8, 4)
     assert len(out[0].sharding.device_set) == 8   # sharded over the mesh
+
+
+def test_trainer_remat(tmp_path):
+    """jax.checkpoint-wrapped forward trains identically (same seed)."""
+    t1 = make_trainer(tmp_path / 'a', max_step=5, seed=21)
+    t1.run()
+    t2 = make_trainer(tmp_path / 'b', max_step=5, seed=21, remat=True)
+    t2.run()
+    a = jax.tree_util.tree_leaves(t1.params)[0]
+    b = jax.tree_util.tree_leaves(t2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -82,3 +82,17 @@ def test_tts_synthesize(small_tts):
     assert mel.shape[0] == 2 and mel.shape[1] == 80
     assert 1 <= mel.shape[2] <= 11
     assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_tts_to_vocoder_pipeline(small_tts):
+    """Full text -> mel -> waveform path (TTS + bundled HiFi-GAN)."""
+    import os
+    from pytorch_sound_tpu.interface.hifi_gan import CHECKPOINTS, InterfaceHifiGAN
+    if not os.path.exists(CHECKPOINTS['hifi_gan_v2']):
+        pytest.skip('bundled checkpoint not converted')
+
+    model, params, text, _ = small_tts
+    mel = synthesize(model, params, text[:1], max_frames=16)
+    wav = InterfaceHifiGAN('hifi_gan_v2').decode(mel)
+    assert wav.shape == (1, 1, mel.shape[2] * 256)
+    assert np.isfinite(np.asarray(wav)).all()
