@@ -162,3 +162,20 @@ def test_separate_inference(dsd_meta_dir, tmp_path):
     rec = np.asarray(voice + background)
     np.testing.assert_allclose(rec[0, 1024:-1024], np.asarray(mix)[0, 1024:-1024],
                                atol=1e-3)
+
+
+def test_dsd100_main_entrypoint(dsd_meta_dir, tmp_path):
+    """The CLI-facing main() wires loaders/registry/trainer correctly."""
+    from pytorch_sound_tpu.examples.dsd100 import main
+    best = main(dsd_meta_dir, str(tmp_path), batch_size=2, num_workers=0,
+                fix_len=16384, max_step=2, valid_max_step=1, save_interval=2,
+                log_interval=2, arch='spec_unet_small', use_mesh=False)
+    assert np.isfinite(best)
+
+
+def test_maestro_main_entrypoint(maestro_meta_dir, tmp_path):
+    from pytorch_sound_tpu.examples.maestro import main
+    best = main(maestro_meta_dir, str(tmp_path), batch_size=2, num_workers=0,
+                fix_len=32768, max_step=2, valid_max_step=1, save_interval=2,
+                log_interval=2, arch='frame_pitch_small', use_mesh=False)
+    assert np.isfinite(best)
