@@ -34,6 +34,31 @@ def _timeit(fn, warmup: int = 2, iters: int = 20) -> float:
     return float(np.median(times))
 
 
+def _timeit_chained(step_fn, state0, iters: int = 32, warmup: int = 2) -> float:
+    """Amortized per-step wall time of a data-dependent chain, terminated by a
+    REAL host value fetch.
+
+    Through the axon tunnel, ``block_until_ready`` can acknowledge before
+    execution completes and content-identical dispatches may be deduplicated —
+    so each step must consume the previous step's (perturbed) output, and the
+    chain must end by materializing bytes on the host. This is the only
+    methodology here whose numbers respect physical FLOP limits.
+    """
+    import jax
+
+    state = state0
+    out = None
+    for _ in range(warmup):
+        state, out = step_fn(state)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, out = step_fn(state)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_vocoder(batch: int = 32, frames: int = 256):
     """Steady-state mel->wav throughput with the pretrained v2 generator."""
     import jax
@@ -42,12 +67,15 @@ def bench_vocoder(batch: int = 32, frames: int = 256):
 
     iface = InterfaceHifiGAN('hifi_gan_v2')
     rng = np.random.default_rng(0)
-    mel = jnp.asarray(rng.standard_normal((batch, 80, frames)).astype(np.float32) * 2 - 4)
+    mel0 = jnp.asarray(rng.standard_normal((batch, 80, frames)).astype(np.float32) * 2 - 4)
 
-    def step():
-        iface.decode(mel).block_until_ready()
+    @jax.jit
+    def step(mel):
+        wav = iface.decoder.apply(iface.params, mel)
+        # content-perturbed next input keeps the chain honest (see _timeit_chained)
+        return jnp.roll(mel, 1, axis=-1) * (1.0 + 1e-3 * jnp.tanh(wav.mean())), wav
 
-    dt = _timeit(step)
+    dt = _timeit_chained(step, mel0, iters=16)
     samples = batch * frames * 256
     return samples / dt
 
@@ -73,14 +101,16 @@ def bench_preprocess(batch: int = 16, seconds: float = 4.0, fused: bool = True):
             settings.WIN_LENGTH, settings.HOP_LENGTH,
             settings.MIN_DB, settings.MAX_DB, settings.MEL_MIN, settings.MEL_MAX)
     if fused and jax.default_backend() == 'tpu':
-        fn = jax.jit(lambda w: fused_log_mel(w, *args))
+        fn = lambda w: fused_log_mel(w, *args)          # noqa: E731
     else:
-        fn = jax.jit(lambda w: mel_ops.log_mel_spectrogram(w, *args))
+        fn = lambda w: mel_ops.log_mel_spectrogram(w, *args)  # noqa: E731
 
-    def step():
-        fn(wav).block_until_ready()
+    @jax.jit
+    def step(w):
+        mel = fn(w)
+        return jnp.roll(w, 1, axis=-1) * (1.0 + 1e-3 * jnp.tanh(mel.mean())), mel
 
-    dt = _timeit(step)
+    dt = _timeit_chained(step, wav, iters=32)
     return batch / dt
 
 
@@ -124,7 +154,8 @@ def bench_preprocess_e2e(n_files: int = 64, seconds: float = 4.0,
             wavs = [wavio.load_wav(p, sr=target_sr)[0] for p in paths]
         batch = np.stack([np.pad(w[:pad_len], (0, max(0, pad_len - len(w))))
                           for w in wavs])
-        mel_fn(jnp.asarray(batch)).block_until_ready()
+        mel = mel_fn(jnp.asarray(batch))
+        float(np.asarray(mel).ravel()[0])   # force real completion
 
     dt = _timeit(run_once, warmup=1, iters=5)
     return n_files / dt
@@ -153,15 +184,16 @@ def bench_trainer(batch: int = 8, fix_len: int = 16384, iters: int = 10):
     trainer._ensure_initialized(device_batch)
     step_fn = trainer._get_train_step()
 
-    # functional state threading outside the Trainer loop for pure step timing
-    state = {'params': trainer.params, 'opt': trainer.opt_state}
+    # params/opt threading makes the chain data-dependent; the loss output is
+    # fetched by _timeit_chained to pin down real execution time
+    def step(state):
+        params, opt = state
+        params, opt, loss, _ = step_fn(params, opt, device_batch,
+                                       is_logging=False)
+        return (params, opt), loss
 
-    def step():
-        state['params'], state['opt'], loss, _ = step_fn(
-            state['params'], state['opt'], device_batch, is_logging=False)
-        jax.block_until_ready(state['params'])
-
-    dt = _timeit(step, warmup=3, iters=iters)
+    dt = _timeit_chained(step, (trainer.params, trainer.opt_state),
+                         iters=iters, warmup=3)
     return 1.0 / dt
 
 
