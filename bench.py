@@ -71,7 +71,7 @@ def bench_vocoder(batch: int = 32, frames: int = 256):
 
     @jax.jit
     def step(mel):
-        wav = iface.decoder.apply(iface.params, mel)
+        wav = iface._decode(iface.params, mel)   # the interface's chosen path
         # content-perturbed next input keeps the chain honest (see _timeit_chained)
         return jnp.roll(mel, 1, axis=-1) * (1.0 + 1e-3 * jnp.tanh(wav.mean())), wav
 

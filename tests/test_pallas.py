@@ -58,3 +58,56 @@ def test_fused_hifigan_mel_matches_xla_path():
     out_x = mel_ops.hifigan_mel_spectrogram(wav)
     assert out_p.shape == out_x.shape
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-4)
+
+
+def test_fused_resblock_stage_matches_flax():
+    """The fused stage kernel (interpret mode) vs the flax ResBlock1 mean."""
+    from flax import serialization
+    from pytorch_sound_tpu.models.vocoders import hifi_gan as HG
+    from pytorch_sound_tpu.ops.pallas.resblock import fused_resblock_stage
+    import os
+    ckpt = os.path.join(os.path.dirname(HG.__file__), '..', '..', '..',
+                        'assets', 'vocoders', 'hifi_gan_v2.msgpack')
+    if not os.path.exists(ckpt):
+        import pytest
+        pytest.skip('checkpoint not converted')
+    with open(ckpt, 'rb') as r:
+        params = serialization.msgpack_restore(r.read())['params']
+
+    rng = np.random.default_rng(0)
+    C, T, N = 64, 300, 4        # stage 0 of v2; pack = 2
+    x = jnp.asarray(rng.standard_normal((N, C, T)).astype(np.float32))
+    stage = {('resblocks_%d' % j): params['resblocks_%d' % j] for j in range(3)}
+
+    ref = 0
+    for j in range(3):
+        rb = HG.ResBlock1(C, [3, 7, 11][j], (1, 3, 5), use_weight_norm=False)
+        ref = ref + rb.apply({'params': params['resblocks_%d' % j]}, x)
+    ref = ref / 3
+
+    out = fused_resblock_stage(x, stage, C, tile_t=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_generator_apply_fused_matches_flax():
+    """Full fused-generator forward (with per-stage fallback) vs flax apply."""
+    from flax import serialization
+    from pytorch_sound_tpu.models import build_model
+    from pytorch_sound_tpu.models.vocoders.hifi_gan import generator_apply_fused
+    import os
+    ckpt = 'assets/vocoders/hifi_gan_v2.msgpack'
+    if not os.path.exists(ckpt):
+        import pytest
+        pytest.skip('checkpoint not converted')
+    with open(ckpt, 'rb') as r:
+        params = serialization.msgpack_restore(r.read())
+
+    gen = build_model('hifi_gan_v2', extra_kwargs={'use_weight_norm': False})
+    rng = np.random.default_rng(1)
+    # batch 16 satisfies every stage's lane packing for v2 (min C=8 -> pack 16)
+    mel = jnp.asarray(rng.standard_normal((16, 80, 13)).astype(np.float32) * 2 - 4)
+    out_fused = generator_apply_fused(gen, params, mel)
+    out_flax = gen.apply(params, mel)
+    assert out_fused.shape == out_flax.shape
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_flax),
+                               atol=2e-4)
