@@ -93,7 +93,7 @@ def pack_stage_weights(params: dict, channels: int,
 
 def _stage_kernel(x_ref, taps_ref, bias_ref, out_ref, scratch, sem,
                   *, tap_meta, plan, t_true: int, tile_rows: int,
-                  n_blocks: int):
+                  n_blocks: int, precision):
     """Per block: x_b = x; per round: xt = conv2(lrelu(conv1(lrelu(x_b))));
     x_b += xt. Stage output = mean_b(x_b) over the tile's center rows."""
     bgrp = pl.program_id(0)
@@ -122,7 +122,7 @@ def _stage_kernel(x_ref, taps_ref, bias_ref, out_ref, scratch, sem,
             shifted = pltpu.roll(h, (-shift) % rows, 0) if shift else h
             y = y + jnp.dot(shifted, taps_ref[start + j],
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=precision)
         return (y + bias_ref[ci][None, :]) * valid
 
     def lrelu(v):
@@ -146,12 +146,15 @@ def _stage_kernel(x_ref, taps_ref, bias_ref, out_ref, scratch, sem,
 def fused_resblock_stage(x: jnp.ndarray, params: dict, channels: int,
                          kernel_sizes: Sequence[int] = (3, 7, 11),
                          dilations: Sequence[Sequence[int]] = ((1, 3, 5),) * 3,
-                         tile_t: int = TILE_T,
+                         tile_t: int = TILE_T, precision: str = 'highest',
                          interpret: bool = None) -> jnp.ndarray:
     """One HiFi-GAN upsample stage's resblock mean: x (N, C, T) -> (N, C, T).
 
     Requires C <= 128, 128 % C == 0 (lane packing), N % (128//C) == 0,
     ResBlock1 semantics, folded (inference) weights.
+    ``precision``: 'highest' (6-pass f32, exact parity; the default) or
+    'default' (single bf16 pass, ~1e-2 waveform error, several-fold faster
+    matmuls). Mosaic does not support the intermediate HIGH tier in kernels.
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -170,9 +173,11 @@ def fused_resblock_stage(x: jnp.ndarray, params: dict, channels: int,
     t_pad = _round_up(t, tile_t)
     xp = jnp.pad(xp, [(0, 0), (HALO, t_pad - t + HALO), (0, 0)])
 
+    prec = {'highest': jax.lax.Precision.HIGHEST,
+            'default': jax.lax.Precision.DEFAULT}[precision]
     kernel = functools.partial(_stage_kernel, tap_meta=tap_meta, plan=plan,
                                t_true=t, tile_rows=tile_t,
-                               n_blocks=len(kernel_sizes))
+                               n_blocks=len(kernel_sizes), precision=prec)
     out = pl.pallas_call(
         kernel,
         grid=(n // pack, t_pad // tile_t),
