@@ -111,3 +111,21 @@ def test_generator_apply_fused_matches_flax():
     assert out_fused.shape == out_flax.shape
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_flax),
                                atol=2e-4)
+
+
+def test_generator_apply_fused_mixed_eligibility():
+    """v1-style config: first stage C=256 must fall back to flax, later
+    stages (C <= 128) run fused — outputs must still match flax end-to-end."""
+    from pytorch_sound_tpu.models import build_model
+    from pytorch_sound_tpu.models.vocoders.hifi_gan import (
+        fold_weight_norm_params, generator_apply_fused)
+
+    gen = build_model('hifi_gan_v1', extra_kwargs={'use_weight_norm': False,
+                                                   'upsample_initial_channel': 512})
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((4, 80, 5)).astype(np.float32) * 2 - 4)
+    params = gen.init(jax.random.PRNGKey(3), mel)
+    out_fused = generator_apply_fused(gen, params, mel)   # stages: 256,128,64,32
+    out_flax = gen.apply(params, mel)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_flax),
+                               atol=2e-4)
