@@ -56,7 +56,8 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_scr, l_scr, acc_scr,
 
     l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
         jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
-    acc_scr[...] = acc_scr[...] * alpha[:, :acc_scr.shape[-1]] + jnp.dot(
+    # alpha columns are row-replicated; a (bq, 1) slice broadcasts to any d_pad
+    acc_scr[...] = acc_scr[...] * alpha[:, :1] + jnp.dot(
         p, v, preferred_element_type=jnp.float32)
     m_scr[...] = m_new
 
@@ -161,7 +162,7 @@ def _fwd_res_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
 
     l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
         jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
-    acc_scr[...] = acc_scr[...] * alpha[:, :acc_scr.shape[-1]] + jnp.dot(
+    acc_scr[...] = acc_scr[...] * alpha[:, :1] + jnp.dot(
         p, v, preferred_element_type=jnp.float32)
     m_scr[...] = m_new
 

@@ -28,6 +28,10 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
         return jax.device_put(batch, sharding)
 
     it = iter(iterator)
+    if size <= 0:   # no lookahead: host draws happen exactly at consumption
+        for batch in it:
+            yield put(batch)
+        return
     try:
         for _ in range(size):
             queue.append(put(next(it)))

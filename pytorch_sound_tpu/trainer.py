@@ -157,6 +157,7 @@ class Trainer:
         # functional state; created lazily from the first batch unless given
         self.params = params
         self.opt_state = None
+        self._pending_batch = None
         self._compiled_train_step = None
         self._compiled_eval_step = None
 
@@ -196,6 +197,11 @@ class Trainer:
 
     def run(self) -> float:
         try:
+            # resume must happen BEFORE the loop range is computed: pull one
+            # batch to lazily init params and load the newest checkpoint (the
+            # reference loads in __init__, `trainer.py:124`); without this the
+            # loop would restart at step 1 and clobber restored state.
+            self._bootstrap()
             for i in range(self.step + 1, self.max_step + 1):
                 self.step = i
                 if i % self.save_interval == 1:
@@ -211,7 +217,25 @@ class Trainer:
 
     # ------------------------------------------------------------------ jit steps
 
-    def _ensure_initialized(self, batch):
+    def _bootstrap(self):
+        """Initialize params / resume checkpoints before the run loop starts.
+
+        Draws one batch for shape-driven lazy init. When no checkpoint was
+        loaded the batch is kept for step 1 (nothing wasted); when a resume
+        happened the batch predates the restored RNG streams, so it is
+        discarded — the first resumed step re-draws under the restored state.
+        """
+        if self.params is not None and self.opt_state is not None:
+            return
+        batch = next(self.train_dataset)
+        loaded = self._ensure_initialized(batch)
+        if not loaded:
+            self._pending_batch = batch
+
+    def _ensure_initialized(self, batch) -> bool:
+        """Lazy param/optimizer init + checkpoint resume. Returns True when a
+        checkpoint was loaded."""
+        loaded = False
         if self.params is None:
             self.rng, init_rng = jax.random.split(self.rng)
             self.params = self.init_params(init_rng, batch)
@@ -220,12 +244,13 @@ class Trainer:
             log('Model {} was loaded. Total {} params.'.format(model_name, n_params))
         if self.opt_state is None:
             self.opt_state = self.optimizer.init(self.params)
-            self.load()   # resume newest checkpoint if one exists
+            loaded = self.load()   # resume newest checkpoint if one exists
             if self.step == 0 and self.pretrained_path:
                 self.load_pretrained_model()
             if self.mesh is not None:
                 self.params = jax.device_put(self.params, self._repl_sharding)
                 self.opt_state = jax.device_put(self.opt_state, self._repl_sharding)
+        return loaded
 
     def _clip_grads(self, grads):
         if self.grad_clip:
@@ -298,7 +323,10 @@ class Trainer:
         import time
         self._maybe_profile(step)
         log_flag = step % self.log_interval == 0
-        batch = next(self.train_dataset)
+        if self._pending_batch is not None:   # batch drawn during _bootstrap
+            batch, self._pending_batch = self._pending_batch, None
+        else:
+            batch = next(self.train_dataset)
         self._ensure_initialized(batch)
 
         t0 = time.perf_counter()
@@ -374,12 +402,12 @@ class Trainer:
     def _checkpoint_dir(self) -> str:
         return os.path.join(self.model_dir, self.save_name)
 
-    def load(self, load_optim: bool = True):
+    def load(self, load_optim: bool = True) -> bool:
         save_path = self._checkpoint_dir()
         check_files = glob.glob(os.path.join(save_path, 'step_*.chkpt'))
         if not check_files:
             log('No any checkpoint in {}. Loading network skipped.'.format(save_path))
-            return
+            return False
 
         def step_of(path):
             m = re.search(r'step_(\d+)\.chkpt$', path)
@@ -389,20 +417,42 @@ class Trainer:
         with open(latest_file, 'rb') as r:
             state = serialization.msgpack_restore(r.read())
         if 'seed' in state:
+            # re-seed from the checkpoint so resumed crop/shuffle streams are
+            # reproducible (reference `trainer.py:124-134` re-seeds after load)
             self.seed = int(state['seed'])
+            np.random.seed(self.seed)
+            self.rng = jax.random.PRNGKey(self.seed)
+        # exact RNG-state restore (stronger than the reference's re-seed):
+        # resumed steps N+1.. replay the same numpy/jax streams the
+        # uninterrupted run saw after its step-N save
+        if 'np_random' in state:
+            st = state['np_random']
+            np.random.set_state(('MT19937',
+                                 np.asarray(st['keys'], dtype=np.uint32),
+                                 int(st['pos']), int(st['has_gauss']),
+                                 float(st['cached'])))
+        if 'rng' in state:
+            self.rng = jnp.asarray(np.asarray(state['rng'], dtype=np.uint32))
         self.params = serialization.from_state_dict(self.params, state['model'])
         if load_optim and 'optim' in state:
             self.opt_state = serialization.from_state_dict(self.opt_state, state['optim'])
         self.step = int(state['step'])
         log("checkpoint '{}' is loaded. previous step={}".format(latest_file, self.step))
+        return True
 
     def save(self, step: int):
+        np_st = np.random.get_state()
         state = {
             'step': step,
             'model': serialization.to_state_dict(self.params),
             'optim': serialization.to_state_dict(self.opt_state),
             'pretrained_step': step,
             'seed': self.seed,
+            # exact RNG snapshots so a resumed run replays the same streams
+            'np_random': {'keys': np.asarray(np_st[1], np.uint32),
+                          'pos': int(np_st[2]), 'has_gauss': int(np_st[3]),
+                          'cached': float(np_st[4])},
+            'rng': np.asarray(self.rng),
         }
         blob = serialization.msgpack_serialize(jax.tree_util.tree_map(np.asarray, state))
 

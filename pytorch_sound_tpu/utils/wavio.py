@@ -109,6 +109,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 def write_wav(path: str, samples: np.ndarray, sr: int, dtype: str = 'float32'):
     """Write mono/multi-channel float samples to a WAV file ('float32' or 'int16')."""
     samples = np.asarray(samples)
+    channels = 1 if samples.ndim == 1 else samples.shape[0]
     if samples.ndim == 2:   # (channels, T) -> interleave
         samples = samples.T.reshape(-1)
     if dtype == 'float32':
@@ -119,7 +120,6 @@ def write_wav(path: str, samples: np.ndarray, sr: int, dtype: str = 'float32'):
         fmt_tag, bits = _WAVE_FORMAT_PCM, 16
     else:
         raise ValueError('dtype must be float32 or int16')
-    channels = 1 if np.asarray(samples).ndim == 1 else samples.shape[0]
     block_align = channels * bits // 8
     with open(path, 'wb') as f:
         f.write(b'RIFF' + struct.pack('<I', 36 + len(body)) + b'WAVE')

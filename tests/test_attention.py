@@ -148,3 +148,20 @@ def test_blockwise_pallas_backend_is_differentiable():
     g_pal = jax.grad(loss('pallas'))(q)
     g_lax = jax.grad(loss('lax'))(q)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_lax), atol=1e-5)
+
+
+def test_flash_kernel_wide_head_dim():
+    """Head dims > 128 (d_pad = 256) must work — the alpha rescale slice was
+    once capped at LANE=128 columns (ADVICE round 1)."""
+    from pytorch_sound_tpu.ops.pallas.flash_attention import (
+        flash_attention, flash_attention_trainable)
+    rng = np.random.default_rng(9)
+    q, k, v = _qkv(rng, n=1, h=2, t=96, d=160)
+    out_f = flash_attention(q, k, v, block_q=32, block_kv=32)
+    out_d = _dense_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d), atol=1e-4)
+
+    g_f = jax.grad(lambda q: jnp.sum(
+        flash_attention_trainable(q, k, v, None, 32, 32) ** 2))(q)
+    g_d = jax.grad(lambda q: jnp.sum(_dense_attention(q, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_d), atol=1e-4)

@@ -69,17 +69,88 @@ def test_trainer_learns_and_checkpoints(tmp_path):
     assert float(loss0) < 5.0
 
 
-def test_trainer_resume(tmp_path):
-    t1 = make_trainer(tmp_path, max_step=20)
-    t1.run()
-    p1 = jax.tree_util.tree_leaves(t1.params)[0]
+class CountingTrainer(RegressionTrainer):
+    """Counts actually-executed train steps — resume must NOT re-run old ones."""
 
-    # new trainer resumes from step 20 and continues to 25
-    t2 = make_trainer(tmp_path, max_step=25)
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.executed_steps = []
+
+    def train(self, step):
+        self.executed_steps.append(step)
+        super().train(step)
+
+
+def make_counting_trainer(tmp_path, max_step, seed=11, **kw):
+    kw.setdefault('save_interval', 10)
+    return CountingTrainer(
+        TinyNet(), optax.adam(3e-2), make_loader(), make_loader(n_batches=2),
+        max_step=max_step, valid_max_step=2,
+        log_interval=5, save_dir=str(tmp_path), save_prefix='reg', seed=seed, **kw)
+
+
+def test_trainer_resume(tmp_path):
+    t1 = make_counting_trainer(tmp_path, max_step=20)
+    t1.run()
+    assert t1.executed_steps == list(range(1, 21))
+    p1 = np.asarray(jax.tree_util.tree_leaves(t1.params)[0])
+
+    # new trainer resumes from step 20 and executes ONLY steps 21..25
+    t2 = make_counting_trainer(tmp_path, max_step=25, seed=99)
     t2.run()
     assert t2.step == 25
-    # it really loaded the old params before continuing (seed differs)
+    assert t2.executed_steps == list(range(21, 26))
+    # it really loaded the old state (seed comes from the checkpoint, not 99)
     assert t2.seed == t1.seed
+
+
+class StreamRecorder:
+    """Loader drawing batches from global np.random, recording each draw —
+    the test analog of the dataset's random crop/shuffle stream."""
+
+    def __init__(self, log, batch=16):
+        self.log = log
+        self.batch = batch
+
+    def __iter__(self):
+        w = np.arange(4.0) + 1
+        for _ in range(8):
+            x = np.random.standard_normal((self.batch, 4)).astype(np.float32)
+            y = (x @ w).astype(np.float32)
+            self.log.append(float(x.sum()))
+            yield [x, y]
+
+
+def _stream_trainer(tmp_path, log, max_step):
+    return RegressionTrainer(
+        TinyNet(), optax.adam(3e-2), StreamRecorder(log), make_loader(n_batches=2),
+        max_step=max_step, valid_max_step=2, save_interval=5, log_interval=5,
+        save_dir=str(tmp_path), save_prefix='reg', seed=7, prefetch_size=0)
+
+
+def test_resume_reproduces_data_stream(tmp_path):
+    """Interrupt+resume replays the exact crop/shuffle stream of an
+    uninterrupted run (np.random + jax key state are checkpointed)."""
+    full_log = []
+    _stream_trainer(tmp_path / 'full', full_log, max_step=20).run()
+    assert len(full_log) == 20   # one draw per step, no lookahead
+
+    part_log = []
+    _stream_trainer(tmp_path / 'res', part_log, max_step=10).run()
+    resumed_log = []
+    t = _stream_trainer(tmp_path / 'res', resumed_log, max_step=20)
+    t.run()
+    assert t.step == 20
+    # first draw bootstraps lazy init and is discarded on resume; the rest
+    # must equal the uninterrupted run's steps 11..20 exactly
+    np.testing.assert_array_equal(resumed_log[1:], full_log[10:20])
+    # and the model ends identical to the uninterrupted run
+    a = np.asarray(jax.tree_util.tree_leaves(t.params)[0])
+    full2_log = []
+    tf = _stream_trainer(tmp_path / 'full', full2_log, max_step=20)
+    tf._bootstrap()   # just reload the finished run's final checkpoint
+    b = np.asarray(jax.tree_util.tree_leaves(tf.params)[0])
+    np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 def test_trainer_grad_clip(tmp_path):

@@ -116,3 +116,19 @@ def test_concat_complex():
     b = np.arange(8, 16, dtype=np.float32).reshape(1, 4, 2)
     out = np.asarray(concat_complex(a, b, dim=1))
     np.testing.assert_array_equal(out[0, :, 0], [0, 2, 8, 10, 4, 6, 12, 14])
+
+
+def test_wav_multichannel_roundtrip(tmp_path):
+    """(channels, T) input must produce a stereo header + interleaved data
+    (the channel count was once computed after flattening — ADVICE round 1)."""
+    t = np.linspace(0, 1, 22050, dtype=np.float32)
+    stereo = np.stack([np.sin(2 * np.pi * 440 * t),
+                       np.sin(2 * np.pi * 220 * t)]) * 0.5
+    path = str(tmp_path / 'stereo.wav')
+    wavio.write_wav(path, stereo, 22050)
+    sr, n_frames, ch, bits = wavio.read_wav_info(path)
+    assert (sr, ch, bits) == (22050, 2, 32)
+    assert n_frames == stereo.shape[1]
+    back, sr2 = wavio.read_wav(path)
+    assert back.shape == stereo.shape
+    np.testing.assert_allclose(back, stereo, atol=1e-6)
