@@ -240,15 +240,17 @@ class Audio2Mel:
 class LogMelSpectrogramTorchAudio:
     """Power-mel + log + clamp (reference `transforms.py:369-394`).
 
-    The reference delegated to torchaudio.MelSpectrogram, which computes a
-    *power* (magnitude^2) mel with an HTK-scaled, unnormalized filterbank by
-    default; this implementation keeps the slaney filterbank used everywhere
-    else in the toolkit and the power-spectrum convention.
+    The reference delegated to torchaudio.transforms.MelSpectrogram, whose
+    defaults are a *power* (magnitude^2) spectrum over a centered hann STFT
+    and an HTK-scaled, unnormalized mel filterbank — replicated here
+    (``htk=True, norm=None``). Pass ``htk=False, norm='slaney'`` for the
+    librosa-style filterbank used elsewhere in the toolkit.
     """
 
     def __init__(self, sample_rate: int, mel_size: int, n_fft: int, win_length: int,
                  hop_length: int, min_db: float, max_db: float,
-                 mel_min: float = 0., mel_max: float = None):
+                 mel_min: float = 0., mel_max: float = None,
+                 htk: bool = True, norm: Optional[str] = None):
         self.sample_rate = sample_rate
         self.mel_size = mel_size
         self.n_fft = n_fft
@@ -258,12 +260,15 @@ class LogMelSpectrogramTorchAudio:
         self.max_db = mel_ops.db_to_log(max_db)
         self.mel_min = mel_min
         self.mel_max = mel_max
+        self.htk = htk
+        self.norm = norm
 
     def __call__(self, wav: jnp.ndarray, log_offset: float = 1e-6) -> jnp.ndarray:
         mag = stft_ops.spectrogram_magnitude(
             wav, self.n_fft, self.hop_length, self.win_length, center=True)
         mel_filter = mel_ops.cached_mel_filter(
-            self.sample_rate, self.n_fft, self.mel_size, self.mel_min, self.mel_max)
+            self.sample_rate, self.n_fft, self.mel_size, self.mel_min, self.mel_max,
+            htk=self.htk, norm=self.norm)
         mel = jnp.einsum('mf,...ft->...mt', mel_filter, mag * mag,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)

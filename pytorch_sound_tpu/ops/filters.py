@@ -39,19 +39,37 @@ def mel_to_hz_slaney(m):
     return f
 
 
-def mel_filterbank(sample_rate: int, n_fft: int, n_mels: int,
-                   fmin: float = 0.0, fmax: Optional[float] = None) -> np.ndarray:
-    """Slaney-normalized triangular mel filterbank, shape (n_mels, 1 + n_fft//2).
+def hz_to_mel_htk(f):
+    """HTK mel scale: 2595 * log10(1 + f/700)."""
+    f = np.asarray(f, dtype=np.float64)
+    return 2595.0 * np.log10(1.0 + f / 700.0)
 
-    Matches librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax) at its defaults
-    (htk=False, norm='slaney').
+
+def mel_to_hz_htk(m):
+    m = np.asarray(m, dtype=np.float64)
+    return 700.0 * (np.power(10.0, m / 2595.0) - 1.0)
+
+
+def mel_filterbank(sample_rate: int, n_fft: int, n_mels: int,
+                   fmin: float = 0.0, fmax: Optional[float] = None,
+                   htk: bool = False, norm: Optional[str] = 'slaney') -> np.ndarray:
+    """Triangular mel filterbank, shape (n_mels, 1 + n_fft//2).
+
+    Defaults match librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax)
+    (htk=False, norm='slaney'). ``htk=True, norm=None`` matches
+    torchaudio.functional.melscale_fbanks at ITS defaults (the filterbank
+    inside torchaudio.transforms.MelSpectrogram,
+    `/root/reference/pytorch_sound/models/transforms.py:384-386`).
     """
     if fmax is None:
         fmax = sample_rate / 2.0
 
+    hz_to_mel = hz_to_mel_htk if htk else hz_to_mel_slaney
+    mel_to_hz = mel_to_hz_htk if htk else mel_to_hz_slaney
+
     fftfreqs = np.linspace(0.0, sample_rate / 2.0, 1 + n_fft // 2)
-    mel_pts = np.linspace(hz_to_mel_slaney(fmin), hz_to_mel_slaney(fmax), n_mels + 2)
-    mel_f = mel_to_hz_slaney(mel_pts)
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    mel_f = mel_to_hz(mel_pts)
 
     fdiff = np.diff(mel_f)
     ramps = mel_f[:, None] - fftfreqs[None, :]
@@ -60,15 +78,24 @@ def mel_filterbank(sample_rate: int, n_fft: int, n_mels: int,
     upper = ramps[2:] / fdiff[1:, None]
     weights = np.maximum(0.0, np.minimum(lower, upper))
 
-    # slaney area normalization
-    enorm = 2.0 / (mel_f[2: n_mels + 2] - mel_f[:n_mels])
-    weights *= enorm[:, None]
+    if norm == 'slaney':
+        # slaney area normalization
+        enorm = 2.0 / (mel_f[2: n_mels + 2] - mel_f[:n_mels])
+        weights *= enorm[:, None]
+    elif norm is not None:
+        raise ValueError("norm must be None or 'slaney'")
     return weights
 
 
 def hann_window(win_length: int, periodic: bool = True) -> np.ndarray:
     """Hann window; ``periodic=True`` matches torch.hann_window / fftbins=True."""
     return get_window('hann', win_length, fftbins=periodic).astype(np.float64)
+
+
+def get_window_array(window, win_length: int, periodic: bool = True) -> np.ndarray:
+    """scipy.signal.get_window for any window name or (name, param) tuple —
+    the reference accepts arbitrary scipy windows (`transforms.py:30,40`)."""
+    return get_window(window, win_length, fftbins=periodic).astype(np.float64)
 
 
 def pad_center(window: np.ndarray, size: int) -> np.ndarray:

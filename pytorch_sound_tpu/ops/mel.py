@@ -26,9 +26,12 @@ from pytorch_sound_tpu.ops import stft as stft_ops
 
 @functools.lru_cache(maxsize=32)
 def cached_mel_filter(sample_rate: int, n_fft: int, n_mels: int,
-                      fmin: float, fmax: Optional[float]) -> jnp.ndarray:
+                      fmin: float, fmax: Optional[float],
+                      htk: bool = False,
+                      norm: Optional[str] = 'slaney') -> jnp.ndarray:
     return np.asarray(
-        filters.mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax),
+        filters.mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax,
+                               htk=htk, norm=norm),
         dtype=np.float32)
 
 

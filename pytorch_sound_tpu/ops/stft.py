@@ -73,9 +73,9 @@ def _cached_stft_basis(n_fft: int, win_length: int, window: str):
 
 @functools.lru_cache(maxsize=32)
 def _cached_window(n_fft: int, win_length: int, window: str):
-    if window != 'hann':
-        raise NotImplementedError('only hann windows are supported')
-    win = filters.pad_center(filters.hann_window(win_length), n_fft)
+    """Any scipy get_window name (fftbins), center-padded to n_fft — matching
+    the reference's `scipy.signal.get_window` usage (`transforms.py:30-32`)."""
+    win = filters.pad_center(filters.get_window_array(window, win_length), n_fft)
     return np.asarray(win, dtype=np.float32)
 
 
@@ -89,8 +89,6 @@ def stft(x: jnp.ndarray, n_fft: int, hop_length: int,
     ``method``: 'fft' (XLA rfft), 'matmul' (MXU DFT basis), 'auto' (matmul on TPU).
     """
     win_length = win_length or n_fft
-    if window != 'hann':
-        raise NotImplementedError('only hann windows are supported')
     if center:
         pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, pad, mode=pad_mode)
@@ -224,7 +222,7 @@ def _cached_istft_pinv_basis(n_fft: int, hop_length: int, win_length: int, windo
 
 @functools.lru_cache(maxsize=16)
 def _cached_square_window(n_fft: int, win_length: int, window: str):
-    win = filters.pad_center(filters.hann_window(win_length), n_fft)
+    win = filters.pad_center(filters.get_window_array(window, win_length), n_fft)
     return np.asarray(win * win, dtype=np.float32)
 
 

@@ -37,45 +37,83 @@ def lowpass(wav: np.ndarray, frequency: int, sr: int = 22050, order: int = 5) ->
 
 
 def get_f0(wav: np.ndarray, hop_length: int, sr: int = 22050,
-           fmin: float = 60.0, fmax: float = 500.0) -> np.ndarray:
-    """Frame-wise f0 with normalized autocorrelation + parabolic refinement.
+           fmin: float = 60.0, fmax: float = 500.0,
+           threshold: float = 0.15) -> np.ndarray:
+    """Frame-wise f0: YIN-style cumulative-mean-normalized difference tracker.
 
-    Reference used WORLD's dio+stonemask (`utils/sound.py:38-49`, pyworld);
-    this is an independent ACF tracker with the same output contract: one f0
-    value per hop, 0 for unvoiced frames, float32.
+    Reference used WORLD's dio+stonemask (`utils/sound.py:38-49`, pyworld —
+    unavailable here); this is an independent implementation of the published
+    YIN estimator (difference function -> CMNDF -> absolute threshold with
+    local-minimum selection -> parabolic refinement -> median de-glitch) with
+    the same output contract: one f0 value per hop, 0 for unvoiced frames,
+    float32. Accuracy is gated by synthetic-sweep tests
+    (tests/test_utils.py::test_get_f0_*): < 1% error on stationary tones and
+    glissandi within [fmin, fmax].
+
+    All frames are processed vectorized: the difference function d(tau) is
+    computed for every frame at once via row-wise FFT cross-correlation plus
+    rolling energy sums.
     """
     x = np.asarray(wav, dtype=np.float64)
-    frame_len = int(sr / fmin * 2)
     n_frames = max(1, int(np.ceil(len(x) / hop_length)))
-    pad = frame_len + hop_length
-    x = np.pad(x, (frame_len // 2, pad), mode='reflect' if len(x) > 1 else 'constant')
 
-    lag_min = int(sr / fmax)
-    lag_max = int(sr / fmin)
-    f0 = np.zeros(n_frames, dtype=np.float32)
-    for i in range(n_frames):
-        frame = x[i * hop_length: i * hop_length + frame_len]
-        frame = frame - frame.mean()
-        power = frame.dot(frame)
-        if power < 1e-9:
-            continue
-        acf = signal.correlate(frame, frame, mode='full')[frame_len - 1:]
-        acf /= acf[0] + 1e-12
-        seg = acf[lag_min:lag_max]
-        if len(seg) == 0:
-            continue
-        peak = int(np.argmax(seg)) + lag_min
-        if acf[peak] < 0.3:   # unvoiced
-            continue
-        # parabolic interpolation around the ACF peak
-        if 1 <= peak < len(acf) - 1:
-            a, b, c = acf[peak - 1], acf[peak], acf[peak + 1]
-            denom = a - 2 * b + c
-            shift = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
-        else:
-            shift = 0.0
-        f0[i] = sr / (peak + shift)
-    return f0
+    lag_min = max(2, int(sr / fmax))
+    lag_max = int(np.ceil(sr / fmin))
+    win = 2 * lag_max                      # integration window W
+    total = win + lag_max                  # window + max lag lookahead
+
+    pad_left = win // 2
+    pad_right = (n_frames - 1) * hop_length + total - len(x) + pad_left
+    mode = 'reflect' if len(x) > 1 else 'constant'
+    x = np.pad(x, (pad_left, max(0, pad_right)), mode=mode)
+
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(total)[None, :]
+    frames = x[idx]                        # (N, total)
+    head = frames[:, :win]                 # (N, W)
+
+    # cross[n, tau] = sum_j head[n, j] * frames[n, j + tau],  tau = 0..lag_max
+    cross = signal.fftconvolve(frames, head[:, ::-1], mode='valid', axes=1)
+    sq = frames * frames
+    csum = np.concatenate([np.zeros((n_frames, 1)), np.cumsum(sq, axis=1)], axis=1)
+    e0 = csum[:, win] - csum[:, 0]                               # (N,)
+    taus = np.arange(lag_max + 1)
+    e_tau = csum[:, taus + win] - csum[:, taus]                  # (N, lag_max+1)
+    diff = np.maximum(e0[:, None] + e_tau - 2.0 * cross, 0.0)    # d(tau)
+
+    # cumulative mean normalized difference: d'(0)=1, d'(t)=d(t)*t/sum_{1..t} d
+    run = np.cumsum(diff[:, 1:], axis=1)
+    cmndf = np.ones_like(diff)
+    cmndf[:, 1:] = diff[:, 1:] * taus[1:][None, :] / np.maximum(run, 1e-12)
+
+    # first local minimum below threshold within [lag_min, lag_max); fallback
+    # to the global CMNDF minimum of that range
+    seg = cmndf[:, lag_min:lag_max]
+    nxt = cmndf[:, lag_min + 1:lag_max + 1]
+    hit = (seg < threshold) & (seg <= nxt)
+    has_hit = hit.any(axis=1)
+    first = np.where(has_hit, hit.argmax(axis=1), seg.argmin(axis=1)) + lag_min
+
+    rows = np.arange(n_frames)
+    d_min = cmndf[rows, first]
+
+    # parabolic interpolation around the minimum
+    left = cmndf[rows, np.maximum(first - 1, 0)]
+    right = cmndf[rows, np.minimum(first + 1, lag_max)]
+    denom = left - 2.0 * d_min + right
+    shift = np.where(np.abs(denom) > 1e-12, 0.5 * (left - right) / np.where(
+        np.abs(denom) > 1e-12, denom, 1.0), 0.0)
+    shift = np.clip(shift, -0.5, 0.5)
+
+    voiced = (d_min < 0.3) & (e0 > 1e-9)
+    f0 = np.where(voiced, sr / (first + shift), 0.0)
+
+    # 3-point median filter on voiced runs removes isolated octave glitches
+    if n_frames >= 3:
+        med = np.copy(f0)
+        stack = np.stack([f0[:-2], f0[1:-1], f0[2:]])
+        med[1:-1] = np.where(f0[1:-1] > 0, np.median(stack, axis=0), 0.0)
+        f0 = med
+    return f0.astype(np.float32)
 
 
 def get_wav_duration(file: str) -> float:

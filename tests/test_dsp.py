@@ -292,3 +292,73 @@ def test_griffin_lim_reconstruction():
     b = np.asarray(mag)[..., 4:-4]
     sc = np.linalg.norm(a - b) / np.linalg.norm(b)
     assert sc < 0.06, sc
+
+
+@pytest.mark.parametrize('window', ['hamming', 'blackman', ('kaiser', 8.0)])
+@pytest.mark.parametrize('method', ['fft', 'matmul'])
+def test_stft_nonhann_windows_match_torch(batch_wav, window, method):
+    """Reference STFT accepts any scipy get_window name (`transforms.py:30,40`)."""
+    w_np = filters.get_window_array(window, WIN)
+    ref = torch.stft(torch.from_numpy(batch_wav), N_FFT, HOP, WIN,
+                     torch.from_numpy(w_np).float(), center=True,
+                     pad_mode='reflect', normalized=False, onesided=True,
+                     return_complex=True)
+    real, imag = stft_ops.stft(jnp.asarray(batch_wav), N_FFT, HOP, WIN,
+                               window=window, method=method)
+    np.testing.assert_allclose(np.asarray(real), ref.real.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(imag), ref.imag.numpy(), atol=2e-4)
+
+
+def test_conv_stft_nonhann_roundtrip(batch_wav):
+    st = T.STFT(filter_length=WIN, hop_length=HOP, window='hamming')
+    mag, phase = st.transform(jnp.asarray(batch_wav))
+    rec = np.asarray(st.inverse(mag, phase))
+    n = rec.shape[-1]
+    np.testing.assert_allclose(rec, batch_wav[:, :n], atol=1e-4)
+
+
+def _htk_fbank_pointwise(sr, n_fft, n_mels, f_min, f_max):
+    """torchaudio.functional.melscale_fbanks (htk scale, norm=None) recomputed
+    point-wise, independent of the vectorized implementation under test."""
+    def hz2mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel2hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    all_freqs = np.linspace(0, sr // 2, n_fft // 2 + 1)
+    m_pts = np.linspace(hz2mel(f_min), hz2mel(f_max), n_mels + 2)
+    f_pts = np.array([mel2hz(m) for m in m_pts])
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for i in range(n_mels):
+        lo, ctr, hi = f_pts[i], f_pts[i + 1], f_pts[i + 2]
+        for k, f in enumerate(all_freqs):
+            up = (f - lo) / (ctr - lo)
+            down = (hi - f) / (hi - ctr)
+            fb[i, k] = max(0.0, min(up, down))
+    return fb
+
+
+def test_mel_filterbank_htk_matches_torchaudio_formula():
+    fb = filters.mel_filterbank(22050, 1024, 80, 0.0, 8000.0, htk=True, norm=None)
+    ref = _htk_fbank_pointwise(22050, 1024, 80, 0.0, 8000.0)
+    np.testing.assert_allclose(fb, ref, atol=1e-10)
+
+
+def test_logmel_torchaudio_htk_golden(batch_wav):
+    """LogMelSpectrogramTorchAudio == torchaudio.MelSpectrogram defaults:
+    power spectrum of a centered hann torch.stft x unnormalized HTK fbank,
+    then log(+1e-6) and db->log clamp (reference `transforms.py:369-394`)."""
+    spec = torch_stft(batch_wav)
+    power = (spec.real ** 2 + spec.imag ** 2).numpy()
+    fb = _htk_fbank_pointwise(settings.SAMPLE_RATE, N_FFT, settings.MEL_SIZE,
+                              settings.MEL_MIN, settings.MEL_MAX)
+    lo = mel_ops.db_to_log(settings.MIN_DB)
+    hi = mel_ops.db_to_log(settings.MAX_DB)
+    ref = np.log(fb @ power + 1e-6).clip(lo, hi)
+
+    mel = np.asarray(T.LogMelSpectrogramTorchAudio(
+        settings.SAMPLE_RATE, settings.MEL_SIZE, N_FFT, WIN, HOP,
+        settings.MIN_DB, settings.MAX_DB, settings.MEL_MIN, settings.MEL_MAX,
+    )(jnp.asarray(batch_wav)))
+    np.testing.assert_allclose(mel, ref, atol=2e-3)

@@ -132,3 +132,64 @@ def test_wav_multichannel_roundtrip(tmp_path):
     back, sr2 = wavio.read_wav(path)
     assert back.shape == stereo.shape
     np.testing.assert_allclose(back, stereo, atol=1e-6)
+
+
+def test_get_f0_accuracy_stationary_tones():
+    """YIN tracker accuracy gate: < 1% relative error on stationary tones
+    across the supported range (the reference used WORLD dio+stonemask)."""
+    sr, hop = 22050, 256
+    t = np.arange(int(sr * 0.6)) / sr
+    for freq in (82.4, 110.0, 220.0, 329.6, 440.0):
+        wav = np.sin(2 * np.pi * freq * t).astype(np.float32)
+        f0 = sound.get_f0(wav, hop_length=hop, sr=sr)
+        voiced = f0[f0 > 0]
+        assert len(voiced) > 0.9 * len(f0), freq
+        rel_err = np.abs(voiced - freq) / freq
+        assert np.median(rel_err) < 0.005, (freq, np.median(rel_err))
+        assert rel_err.max() < 0.01, (freq, rel_err.max())
+
+
+def test_get_f0_accuracy_glissando():
+    """< 2% tracking error on a 100 -> 400 Hz exponential sweep (synthetic
+    sweep tolerance per the round-1 review)."""
+    sr, hop = 22050, 256
+    dur = 1.0
+    n = int(sr * dur)
+    t = np.arange(n) / sr
+    f_inst = 100.0 * (4.0 ** (t / dur))       # 100 -> 400 Hz
+    phase = 2 * np.pi * np.cumsum(f_inst) / sr
+    wav = np.sin(phase).astype(np.float32)
+    f0 = sound.get_f0(wav, hop_length=hop, sr=sr)
+    centers = np.arange(len(f0)) * hop
+    expected = 100.0 * (4.0 ** (np.minimum(centers, n - 1) / sr / dur))
+    # ignore the first/last few frames (window edge effects)
+    sl = slice(3, len(f0) - 3)
+    voiced = f0[sl] > 0
+    assert voiced.mean() > 0.95
+    rel_err = np.abs(f0[sl][voiced] - expected[sl][voiced]) / expected[sl][voiced]
+    assert np.median(rel_err) < 0.01, np.median(rel_err)
+    assert np.percentile(rel_err, 95) < 0.02, np.percentile(rel_err, 95)
+
+
+def test_get_f0_unvoiced_and_silence():
+    sr, hop = 22050, 256
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(sr // 2).astype(np.float32)
+    f0_noise = sound.get_f0(noise, hop_length=hop, sr=sr)
+    assert (f0_noise == 0).mean() > 0.7          # mostly unvoiced
+    silence = np.zeros(sr // 2, dtype=np.float32)
+    f0_sil = sound.get_f0(silence, hop_length=hop, sr=sr)
+    assert (f0_sil == 0).all()
+
+
+def test_get_f0_harmonic_complex():
+    """Harmonic-rich tone (octave-error trap): fundamental must win."""
+    sr, hop = 22050, 256
+    t = np.arange(int(sr * 0.5)) / sr
+    f = 150.0
+    wav = sum((0.6 ** k) * np.sin(2 * np.pi * f * (k + 1) * t)
+              for k in range(5)).astype(np.float32)
+    f0 = sound.get_f0(wav, hop_length=hop, sr=sr)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.9 * len(f0)
+    assert np.abs(np.median(voiced) - f) / f < 0.01
