@@ -19,9 +19,15 @@ import os
 import re
 from typing import List, Tuple
 
-DEFAULT_RULEBOOK_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), '..', '..', '..',
-    'assets', 'korean_rules.txt')
+_ASSETS_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), '..', '..', '..', 'assets')
+# the vendored full KoG2P rulebook (public, ~200 rules incl. lexical
+# exceptions — same data the reference ships as assets/rulebook.txt);
+# korean_rules.txt is the smaller in-house core-phonology book kept as a
+# fallback and a minimal example of the rule format
+DEFAULT_RULEBOOK_PATH = os.path.join(_ASSETS_DIR, 'rulebook.txt')
+if not os.path.exists(DEFAULT_RULEBOOK_PATH):   # pragma: no cover
+    DEFAULT_RULEBOOK_PATH = os.path.join(_ASSETS_DIR, 'korean_rules.txt')
 
 # Romanization tables (Korean Spontaneous Speech corpus conventions).
 # 'oh' is the placeholder for the silent onset ㅇ, resolved to '' / 'ng' below.

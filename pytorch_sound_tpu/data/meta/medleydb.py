@@ -91,9 +91,11 @@ def load_and_merge_audios(mix_path: str, audio_npy_list: List[str]):
 
 
 def load_meta(dir_path: str) -> List[dict]:
-    """Load every YAML metafile in a directory."""
+    """Load every YAML metafile in a directory (non-YAML files skipped)."""
     meta_list = []
-    for file_name in os.listdir(dir_path):
+    for file_name in sorted(os.listdir(dir_path)):
+        if not file_name.endswith(('.yaml', '.yml')):
+            continue
         with open(os.path.join(dir_path, file_name), 'r') as r:
             meta_list.append(yaml.safe_load(r))
     return meta_list

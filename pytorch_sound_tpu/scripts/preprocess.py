@@ -465,9 +465,13 @@ class Processor:
 
     @staticmethod
     def zeroth_korean(in_dir: str, out_dir: str, sample_rate: int = 22050):
-        """Zeroth Korean: flac -> normalized wav + g2p phoneme meta."""
+        """Zeroth Korean: flac -> normalized wav + g2p phoneme meta.
+
+        WAV inputs are accepted too (flac needs ffmpeg; the upstream corpus
+        ships flac, fixtures/tests ship wav)."""
         text_list = glob.glob(os.path.join(in_dir, 'train_data_01', '*', '*', '*.txt'))
-        audio_list = glob.glob(os.path.join(in_dir, 'train_data_01', '*', '*', '*.flac'))
+        audio_list = (glob.glob(os.path.join(in_dir, 'train_data_01', '*', '*', '*.flac'))
+                      + glob.glob(os.path.join(in_dir, 'train_data_01', '*', '*', '*.wav')))
 
         os.makedirs(os.path.join(out_dir, 'wavs'), exist_ok=True)
         out_dir = os.path.abspath(out_dir)

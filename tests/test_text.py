@@ -86,3 +86,34 @@ def test_kor_codecs_roundtrip():
     grp = text_utils.kor_text2grp('한글')
     idx = text_utils.kor_g2i(grp)
     assert len(idx) == 6  # 2 syllables x 3 jamo
+
+
+def test_kog2p_full_rulebook_golden():
+    """Default rulebook is the vendored full KoG2P book; outputs verified
+    against the upstream engine run on the same rules (incl. lexical
+    exceptions the core book lacks: 물고기, 닭, n-insertion 신여성)."""
+    g2p = KoG2P()
+    golden = {
+        '학교에 갑니다': 'h0 aa kf kk yo ee k0 aa mf nn ii t0 aa',
+        '안녕하세요': 'aa nf nn yv ng h0 aa s0 ee yo',
+        '같이 읽어요': 'k0 aa ch ii ii ll k0 vv yo',
+        '물고기': 'mm uu ll kk oo k0 ii',
+        '좋은 날씨네요': 'c0 oo xx nf nn aa ll ss ii nn ee yo',
+        '신여성': 's0 ii nf nn yv s0 vv ng',
+        '값이 비싸요': 'k0 aa pf ss ii p0 ii ss aa yo',
+        '한국어 음성 합성': 'h0 aa nf k0 uu k0 vv xx mf s0 vv ng h0 aa pf ss vv ng',
+        '몇 리': 'mm yv tf rr ii',
+        '닭고기와 밥': 't0 aa kf kk oo k0 ii wa p0 aa pf',
+    }
+    for text, expected in golden.items():
+        assert g2p.g2p(text) == expected, text
+
+
+def test_kophn_dict_matches_phoneme_inventory():
+    """assets/kophn_dict.txt (used by zeroth_korean.check_phn_dict consumers)
+    is exactly the non-pad phone inventory."""
+    import os
+    from pytorch_sound_tpu.data.korean import PHONEMES
+    path = os.path.join(os.path.dirname(__file__), '..', 'assets', 'kophn_dict.txt')
+    phones = open(path).read().split()
+    assert phones == sorted(p for p in PHONEMES if p != '_')
