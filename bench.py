@@ -197,7 +197,111 @@ def bench_trainer(batch: int = 8, fix_len: int = 16384, iters: int = 10):
     return 1.0 / dt
 
 
+def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
+                           iters: int = 6):
+    """BASELINE's 'Trainer steps/sec (VCTK)' config: the HiFi-GAN training
+    recipe on VCTK-shaped segments (batch 16 x 8192 samples @ 22050 Hz, the
+    examples/hifi_gan.py defaults) — full adversarial step (85M-param v2
+    generator + MPD + MSD, two optimizers) in one jitted program.
+
+    First compile is long (~13 min cold on v5e); main() enables the
+    persistent compilation cache so repeat runs amortize it.
+    """
+    import tempfile
+
+    import jax
+    import optax
+    from pytorch_sound_tpu.examples.hifi_gan import HiFiGANTrainer
+    from pytorch_sound_tpu.models import build_model
+    import pytorch_sound_tpu.models.vocoders.discriminators  # noqa: F401
+    import pytorch_sound_tpu.models.vocoders.hifi_gan  # noqa: F401
+
+    trainer = HiFiGANTrainer(
+        build_model('hifi_gan_v2'),
+        build_model('hifi_gan_mpd_base'), build_model('hifi_gan_msd_base'),
+        optax.adamw(2e-4, b1=0.8, b2=0.99), optax.adamw(2e-4, b1=0.8, b2=0.99),
+        None, None, max_step=1, valid_max_step=1, save_interval=10 ** 9,
+        log_interval=10 ** 9, save_dir=tempfile.mkdtemp(prefix='bench_gan_'),
+        save_prefix='bench', seed=0)
+
+    rng = np.random.default_rng(4)
+    wav = rng.standard_normal((batch, fix_len)).astype(np.float32) * 0.1
+    device_batch = [jax.device_put(wav)]
+    trainer._ensure_initialized(device_batch)
+    step_fn = trainer._get_train_step()
+
+    def step(state):
+        params, opt = state
+        params, opt, loss, _ = step_fn(params, opt, device_batch,
+                                       is_logging=False)
+        return (params, opt), loss
+
+    dt = _timeit_chained(step, (trainer.params, trainer.opt_state),
+                         iters=iters, warmup=2)
+    return 1.0 / dt
+
+
+def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
+    """Compiled (non-interpret) Pallas flash-attention validation on the real
+    device: forward AND custom-VJP backward parity vs the dense XLA path,
+    plus steady-state timings. Returns a dict for BENCH_DETAILS."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_sound_tpu.ops.pallas.flash_attention import (
+        flash_attention_trainable)
+
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.standard_normal((n, h, t, d)),
+                           dtype=jnp.float32) for _ in range(3))
+
+    def dense(q, k, v):
+        s = jnp.einsum('nhqd,nhkd->nhqk', q, k,
+                       precision=jax.lax.Precision.HIGHEST) / (d ** 0.5)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum('nhqk,nhkd->nhqd', p, v,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def flash(q, k, v):
+        return flash_attention_trainable(q, k, v, None, 128, 128, False)
+
+    def loss(f):
+        return lambda q, k, v: jnp.sum(jnp.sin(f(q, k, v)))
+
+    out_f = jax.jit(flash)(q, k, v)
+    out_d = jax.jit(dense)(q, k, v)
+    gf = jax.jit(jax.grad(loss(flash), argnums=(0, 1, 2)))(q, k, v)
+    gd = jax.jit(jax.grad(loss(dense), argnums=(0, 1, 2)))(q, k, v)
+
+    res = {
+        'shape': [n, h, t, d],
+        'fwd_max_abs_err': float(jnp.abs(out_f - out_d).max()),
+        'dq_max_abs_err': float(jnp.abs(gf[0] - gd[0]).max()),
+        'dk_max_abs_err': float(jnp.abs(gf[1] - gd[1]).max()),
+        'dv_max_abs_err': float(jnp.abs(gf[2] - gd[2]).max()),
+    }
+    res['parity_ok'] = all(res[k] < 5e-3 for k in
+                           ('fwd_max_abs_err', 'dq_max_abs_err',
+                            'dk_max_abs_err', 'dv_max_abs_err'))
+
+    # steady-state fwd+bwd timings (chained)
+    def make_step(f):
+        g = jax.jit(jax.value_and_grad(loss(f)))
+
+        def step(state):
+            val, dq = g(state, k, v)
+            return state * (1.0 + 1e-4 * jnp.tanh(val)) + 1e-6 * dq, val
+        return step
+
+    res['flash_fwd_bwd_ms'] = _timeit_chained(make_step(flash), q, iters=8) * 1e3
+    res['dense_fwd_bwd_ms'] = _timeit_chained(make_step(dense), q, iters=8) * 1e3
+    res['speedup_vs_dense'] = res['dense_fwd_bwd_ms'] / res['flash_fwd_bwd_ms']
+    return res
+
+
 def main():
+    from pytorch_sound_tpu.utils.commons import enable_compilation_cache
+    enable_compilation_cache()
+
     details = {}
     try:
         details['vocoder_samples_per_sec'] = bench_vocoder()
@@ -210,9 +314,18 @@ def main():
     except Exception as e:
         details['preprocess_error'] = repr(e)
     try:
-        details['trainer_steps_per_sec'] = bench_trainer()
+        details['trainer_steps_per_sec_enhancement'] = bench_trainer()
+        details['trainer_steps_per_sec'] = details['trainer_steps_per_sec_enhancement']
     except Exception as e:
         details['trainer_error'] = repr(e)
+    try:
+        details['flash_attention_compiled'] = bench_flash_attention()
+    except Exception as e:
+        details['flash_attention_error'] = repr(e)
+    try:
+        details['trainer_steps_per_sec_vctk_gan'] = bench_trainer_vctk_gan()
+    except Exception as e:
+        details['trainer_vctk_gan_error'] = repr(e)
 
     import jax
     details['backend'] = jax.default_backend()

@@ -81,6 +81,8 @@ def main(meta_dir: str, save_dir: str, batch_size: int = 4, num_workers: int = 2
          fix_len: int = 65536, max_step: int = 20000, valid_max_step: int = 20,
          save_interval: int = 1000, log_interval: int = 50, lr: float = 1e-4,
          arch: str = 'spec_unet_base', use_mesh: bool = False):
+    from pytorch_sound_tpu.utils.commons import enable_compilation_cache
+    enable_compilation_cache()   # warm restarts skip the long first compile
     train_loader, valid_loader = dsd100.get_datasets(
         meta_dir, batch_size=batch_size, num_workers=num_workers,
         fix_len=fix_len, pad_multiple=fix_len)

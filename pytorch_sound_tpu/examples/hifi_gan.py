@@ -80,6 +80,7 @@ class HiFiGANTrainer(Trainer):
                     self.params['gen'], gen_params))
                 log('generator warm-started from {}'.format(
                     self.generator_warm_start))
+        loaded = False
         if self.opt_state is None:
             # per-group optimizer states (gen vs discriminators)
             self.opt_state = {
@@ -87,12 +88,13 @@ class HiFiGANTrainer(Trainer):
                 'mpd': self.disc_optimizer.init(self.params['mpd']),
                 'msd': self.disc_optimizer.init(self.params['msd']),
             }
-            self.load()   # resume (params + per-group opt states) if present
+            loaded = self.load()   # resume (params + per-group opt states)
             if self.step == 0 and self.pretrained_path:
                 self.load_pretrained_model()
             if self.mesh is not None:
                 self.params = jax.device_put(self.params, self._repl_sharding)
                 self.opt_state = jax.device_put(self.opt_state, self._repl_sharding)
+        return loaded
 
     # -- losses ---------------------------------------------------------------
 
@@ -192,6 +194,8 @@ def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
          valid_max_step: int = 20, save_interval: int = 5000,
          log_interval: int = 100, lr: float = 2e-4, arch: str = 'hifi_gan_v2'):
     """Train a HiFi-GAN on any wave-first dataset (vctk, ljspeech, libri_tts)."""
+    from pytorch_sound_tpu.utils.commons import enable_compilation_cache
+    enable_compilation_cache()   # warm restarts skip the long first compile
     data_mod = importlib.import_module('pytorch_sound_tpu.data.meta.' + dataset)
     train_loader, valid_loader = data_mod.get_datasets(
         meta_dir, batch_size=batch_size, num_workers=num_workers,

@@ -84,6 +84,8 @@ def main(meta_dir: str, save_dir: str, batch_size: int = 16, num_workers: int = 
          fix_len: int = 0, max_step: int = 300000, valid_max_step: int = 20,
          save_interval: int = 2000, log_interval: int = 50, lr: float = 1e-4,
          arch: str = 'transformer_tts_base'):
+    from pytorch_sound_tpu.utils.commons import enable_compilation_cache
+    enable_compilation_cache()   # warm restarts skip the long first compile
     train_loader, valid_loader = ljspeech.get_datasets(
         meta_dir, batch_size=batch_size, num_workers=num_workers,
         fix_len=fix_len, audio_mask=True, pad_multiple=16384)

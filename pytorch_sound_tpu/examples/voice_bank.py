@@ -74,6 +74,8 @@ def main(meta_dir: str, save_dir: str, batch_size: int = 8, num_workers: int = 2
          fix_len: int = 32768, max_step: int = 10000, valid_max_step: int = 20,
          save_interval: int = 1000, log_interval: int = 50, lr: float = 2e-4,
          arch: str = 'spec_masker_base', use_mesh: bool = False):
+    from pytorch_sound_tpu.utils.commons import enable_compilation_cache
+    enable_compilation_cache()   # warm restarts skip the long first compile
     train_loader, valid_loader = voice_bank.get_datasets(
         meta_dir, batch_size=batch_size, num_workers=num_workers,
         fix_len=fix_len, pad_multiple=fix_len)

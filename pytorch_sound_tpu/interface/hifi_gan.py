@@ -154,14 +154,16 @@ class InterfaceHifiGAN(Interface):
         return self._decode(self.params, jnp.asarray(mel_tensor))
 
     def decode_streaming(self, mel_tensor: jnp.ndarray, chunk_frames: int = 256,
-                         overlap_frames: int = 16) -> jnp.ndarray:
-        """Chunked decode for arbitrarily long mels at fixed compiled shapes.
+                         overlap_frames: int = 16,
+                         max_batch: int = 64) -> jnp.ndarray:
+        """Batched chunked decode for arbitrarily long mels.
 
         The mel is split into ``chunk_frames`` windows with ``overlap_frames``
         of context on each side (covering the generator's receptive field);
-        each chunk decodes with the same jitted program (one compilation
-        total) and the context samples are trimmed before concatenation.
-        Matches full decode away from the extreme edges.
+        all chunks are **stacked into the batch axis and decoded in one device
+        dispatch** (the chunks are independent), in groups of ``max_batch`` to
+        bound HBM. Context samples are trimmed before reassembly. Matches full
+        decode away from the extreme edges.
         """
         assert mel_tensor.ndim == 3, '3D tensor (N, C, T) is needed'
         mel = jnp.asarray(mel_tensor)
@@ -171,12 +173,20 @@ class InterfaceHifiGAN(Interface):
             return self.decode(mel)
 
         ctx = overlap_frames
-        padded = jnp.pad(mel, [(0, 0), (0, 0), (ctx, ctx + (-t) % chunk_frames)],
+        k = -(-t // chunk_frames)                       # chunks per item
+        width = chunk_frames + 2 * ctx
+        padded = jnp.pad(mel, [(0, 0), (0, 0), (ctx, ctx + k * chunk_frames - t)],
                          mode='edge')
-        pieces = []
-        for start in range(0, t, chunk_frames):
-            window = jax.lax.dynamic_slice_in_dim(
-                padded, start, chunk_frames + 2 * ctx, axis=2)
-            wav = self._decode(self.params, window)
-            pieces.append(wav[..., ctx * up: (ctx + chunk_frames) * up])
-        return jnp.concatenate(pieces, axis=-1)[..., : t * up]
+        import numpy as _np
+        idx = (_np.arange(k)[:, None] * chunk_frames
+               + _np.arange(width)[None, :])            # (k, width)
+        windows = padded[:, :, idx]                     # (n, c, k, width)
+        windows = windows.transpose(0, 2, 1, 3).reshape(n * k, c, width)
+
+        pieces = [self._decode(self.params, windows[i:i + max_batch])
+                  for i in range(0, n * k, max_batch)]
+        wav = jnp.concatenate(pieces, axis=0)           # (n*k, 1, width*up)
+        wav = wav[..., ctx * up: (ctx + chunk_frames) * up]
+        wav = wav.reshape(n, k, 1, chunk_frames * up)
+        wav = wav.transpose(0, 2, 1, 3).reshape(n, 1, k * chunk_frames * up)
+        return wav[..., : t * up]

@@ -186,42 +186,58 @@ class Generator(nn.Module):
 
 
 def generator_apply_fused(config, params: Dict[str, Any],
-                          mel: 'jnp.ndarray') -> 'jnp.ndarray':
-    """Inference forward equal to ``Generator.__call__`` but with each upsample
-    stage's ResBlocks computed by the fused Pallas stage kernel
-    (:mod:`pytorch_sound_tpu.ops.pallas.resblock`) when eligible — measured
-    1.9x faster than the XLA path for v2 at batch 32 on v5e.
+                          mel: 'jnp.ndarray',
+                          full_stage: bool = True) -> 'jnp.ndarray':
+    """Inference forward equal to ``Generator.__call__`` with Pallas fusion.
+
+    ``full_stage=True`` (default) runs each eligible upsample stage as ONE
+    kernel — leaky_relu + ConvTranspose1d + the 3 ResBlocks, with conv_post +
+    tanh folded into the final stage (:mod:`pytorch_sound_tpu.ops.pallas.gen_stage`).
+    ``full_stage=False`` keeps round-1's resblock-only fusion
+    (:mod:`...ops.pallas.resblock`) with the upsamples in XLA.
+    Ineligible stages (channel/packing/geometry constraints) fall back
+    per-stage; numerics match flax at f32-HIGHEST either way.
 
     :param config: the Generator module (hyperparameter source); must use
-        resblock='1' and folded weights (use_weight_norm=False)
+        folded weights (use_weight_norm=False); fusion needs resblock='1'
     :param params: {'params': {...}} folded tree
     """
     from pytorch_sound_tpu.ops.nn import conv1d, conv_transpose1d
+    from pytorch_sound_tpu.ops.pallas import gen_stage as gs
     from pytorch_sound_tpu.ops.pallas import resblock as rb
 
     p = params['params'] if 'params' in params else params
     num_kernels = len(config.resblock_kernel_sizes)
+    kernel_sizes = tuple(config.resblock_kernel_sizes)
     dilations = tuple(tuple(d) for d in config.resblock_dilation_sizes)
+    n_stages = len(config.upsample_rates)
 
     x = conv1d(mel, p['conv_pre']['weight'], p['conv_pre']['bias'], padding=3)
     ch = config.upsample_initial_channel
     for i, (u, k) in enumerate(zip(config.upsample_rates,
                                    config.upsample_kernel_sizes)):
+        ch //= 2
+        last = i == n_stages - 1
+        stage = {('resblocks_%d' % j): p['resblocks_%d' % (i * num_kernels + j)]
+                 for j in range(num_kernels)}
+        if (full_stage and config.resblock == '1'
+                and gs.stage_eligible(ch, x.shape[0], u, k)):
+            x = gs.fused_generator_stage(
+                x, p['ups_%d' % i], stage, ch, u, k, kernel_sizes, dilations,
+                conv_post=p['conv_post'] if last else None)
+            if last:
+                return x            # conv_post + tanh already applied
+            continue
         x = nn.leaky_relu(x, 0.1)
         up = p['ups_%d' % i]
         x = conv_transpose1d(x, up['weight'], up['bias'], stride=u,
                              padding=(k - u) // 2)
-        ch //= 2
-        stage = {('resblocks_%d' % j): p['resblocks_%d' % (i * num_kernels + j)]
-                 for j in range(num_kernels)}
         if config.resblock == '1' and rb.stage_eligible(ch, x.shape[0]):
-            x = rb.fused_resblock_stage(
-                x, stage, ch, tuple(config.resblock_kernel_sizes), dilations)
+            x = rb.fused_resblock_stage(x, stage, ch, kernel_sizes, dilations)
         else:   # fallback: flax resblocks (always correct)
             res_cls = ResBlock1 if config.resblock == '1' else ResBlock2
             xs = None
-            for j, (rk, rd) in enumerate(zip(config.resblock_kernel_sizes,
-                                             dilations)):
+            for j, (rk, rd) in enumerate(zip(kernel_sizes, dilations)):
                 block = res_cls(ch, rk, rd, use_weight_norm=False)
                 out = block.apply({'params': stage['resblocks_%d' % j]}, x)
                 xs = out if xs is None else xs + out

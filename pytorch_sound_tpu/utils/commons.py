@@ -51,3 +51,28 @@ def get_loadable_checkpoint(checkpoint: Dict[str, Any]) -> Dict[str, Any]:
     """
     return {(k[len('module.'):] if k.startswith('module.') else k): v
             for k, v in checkpoint.items()}
+
+
+def enable_compilation_cache(cache_dir: str = None):
+    """Turn on JAX's persistent XLA compilation cache.
+
+    The full HiFi-GAN GAN step (generator + MPD + MSD in one program) costs
+    ~13 minutes to compile cold on v5e; with this cache warm restarts reload
+    the compiled executable in seconds. Called by every training example's
+    main(). Override the location with $PYTORCH_SOUND_TPU_CACHE or the
+    ``cache_dir`` argument.
+    """
+    import os
+    import jax
+    cache_dir = cache_dir or os.environ.get(
+        'PYTORCH_SOUND_TPU_CACHE',
+        os.path.expanduser('~/.cache/pytorch_sound_tpu/xla'))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        log('persistent XLA compilation cache at {}'.format(cache_dir))
+    except Exception as e:   # cache is best-effort; never block training
+        log('compilation cache unavailable: {!r}'.format(e))
+    return cache_dir

@@ -129,3 +129,50 @@ def test_generator_apply_fused_mixed_eligibility():
     out_flax = gen.apply(params, mel)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_flax),
                                atol=2e-4)
+
+
+def test_fused_full_stage_matches_flax():
+    """The full-stage kernel (lrelu + convT + resblocks [+ conv_post+tanh])
+    vs the flax generator, incl. mixed eligibility and multi-tile outputs."""
+    from pytorch_sound_tpu.models import build_model
+    import pytorch_sound_tpu.models.vocoders.hifi_gan as hg
+
+    rng = np.random.default_rng(11)
+    gen = build_model('hifi_gan_v2', extra_kwargs={
+        'upsample_initial_channel': 64, 'use_weight_norm': False})
+    mel = jnp.asarray(rng.standard_normal((4, 80, 37)), dtype=jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), mel)
+    ref = np.asarray(gen.apply(params, mel))
+    out = np.asarray(hg.generator_apply_fused(gen, params, mel, full_stage=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_fused_full_stage_v1_mixed_eligibility():
+    """v1's first stage (C_out=256 > 128 lanes) falls back; the rest fuse."""
+    from pytorch_sound_tpu.models import build_model
+    import pytorch_sound_tpu.models.vocoders.hifi_gan as hg
+
+    rng = np.random.default_rng(12)
+    gen = build_model('hifi_gan_v1', extra_kwargs={'use_weight_norm': False})
+    mel = jnp.asarray(rng.standard_normal((2, 80, 19)), dtype=jnp.float32)
+    params = gen.init(jax.random.PRNGKey(1), mel)
+    ref = np.asarray(gen.apply(params, mel))
+    out = np.asarray(hg.generator_apply_fused(gen, params, mel, full_stage=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_fused_full_stage_multi_tile():
+    """Output long enough that the last stage spans multiple time tiles."""
+    from pytorch_sound_tpu.models import build_model
+    import pytorch_sound_tpu.models.vocoders.hifi_gan as hg
+
+    rng = np.random.default_rng(13)
+    gen = build_model('hifi_gan_v2', extra_kwargs={
+        'upsample_initial_channel': 64, 'use_weight_norm': False})
+    mel = jnp.asarray(rng.standard_normal((4, 80, 64)), dtype=jnp.float32)
+    params = gen.init(jax.random.PRNGKey(3), mel)
+    ref = np.asarray(gen.apply(params, mel))
+    out = np.asarray(hg.generator_apply_fused(gen, params, mel, full_stage=True))
+    assert out.shape == (4, 1, 16384)
+    np.testing.assert_allclose(out, ref, atol=2e-5)

@@ -125,6 +125,15 @@ def test_streaming_decode_matches_full():
     short = np.asarray(iface.decode_streaming(mel[..., :64], chunk_frames=128))
     np.testing.assert_allclose(short, np.asarray(iface.decode(mel[..., :64])),
                                atol=1e-6)
+    # multi-item batch with max_batch smaller than total chunks (6 chunks
+    # split over two device dispatches) reassembles each item correctly
+    mel2 = np.concatenate([mel, mel * 0.5], axis=0)
+    full2 = np.asarray(iface.decode(jnp.asarray(mel2)))
+    streamed2 = np.asarray(iface.decode_streaming(
+        mel2, chunk_frames=128, overlap_frames=16, max_batch=4))
+    assert streamed2.shape == full2.shape
+    err2 = np.abs(streamed2 - full2)
+    assert float(err2[..., 20 * 256: 280 * 256].max()) < 5e-3
 
 
 @pytest.mark.skipif(not os.path.exists(V2_MSGPACK),
