@@ -86,13 +86,20 @@ class InterfaceHifiGAN(Interface):
     """
 
     def __init__(self, model_name: str = 'hifi_gan_v1', chk_path: str = '',
-                 device=None, params=None, dtype: str = 'float32'):
+                 device=None, params=None, dtype: str = 'float32',
+                 precision: str = 'highest'):
         """``dtype='bfloat16'`` runs the generator activations in bf16
         (f32 accumulation, output cast back to f32). Measured caveat: on the
         current v5e XLA build, bf16 1-d convolutions at HiFi-GAN's channel
         sizes lower to a slower path than f32 (28ms vs 6ms per batch decode) —
         keep the float32 default unless profiling shows otherwise on your
-        stack."""
+        stack.
+
+        ``precision`` selects the fused-kernel contraction mode on TPU:
+        'highest' (default; exact flax parity ~7e-6, ~2x over XLA) or
+        'bf16x3' (3-pass hi/lo bf16 split, ~3.5x over XLA; per-stage relative
+        error ~6e-6 which compounds to ~1e-2 waveform max-error through the
+        4-stage cascade — inaudible-scale, but not bit-parity)."""
         valid = ['hifi_gan_v1', 'hifi_gan_v2', 'hifi_gan_v3']
         assert model_name in valid, \
             'Model name {} is not valid! choose in {}'.format(model_name, valid)
@@ -115,8 +122,9 @@ class InterfaceHifiGAN(Interface):
             self.params = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x, dtype=jnp.bfloat16), self.params)
 
-        # fused Pallas resblock-stage path (1.9x measured on v5e at batch 32);
-        # falls back per-stage to flax when lane-packing constraints don't hold
+        # fully-fused Pallas stage path (lrelu + convT + resblocks [+
+        # conv_post+tanh], ops/pallas/gen_stage.py): ~2x over XLA at exact
+        # parity, ~3.5x at precision='bf16x3'; ineligible stages fall back
         use_fused = (jax.default_backend() == 'tpu'
                      and self.dtype == jnp.float32
                      and self.decoder.resblock == '1')
@@ -126,7 +134,9 @@ class InterfaceHifiGAN(Interface):
             from pytorch_sound_tpu.models.vocoders.hifi_gan import (
                 generator_apply_fused)
             self._decode = jax.jit(
-                lambda p, mel: generator_apply_fused(self.decoder, p, mel))
+                lambda p, mel: generator_apply_fused(
+                    self.decoder, p, mel, full_stage=True,
+                    precision=precision))
         else:
             self._decode = jax.jit(
                 lambda p, mel: self.decoder.apply(

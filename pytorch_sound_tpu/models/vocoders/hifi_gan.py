@@ -187,7 +187,8 @@ class Generator(nn.Module):
 
 def generator_apply_fused(config, params: Dict[str, Any],
                           mel: 'jnp.ndarray',
-                          full_stage: bool = True) -> 'jnp.ndarray':
+                          full_stage: bool = True,
+                          precision: str = 'highest') -> 'jnp.ndarray':
     """Inference forward equal to ``Generator.__call__`` with Pallas fusion.
 
     ``full_stage=True`` (default) runs each eligible upsample stage as ONE
@@ -224,7 +225,8 @@ def generator_apply_fused(config, params: Dict[str, Any],
                 and gs.stage_eligible(ch, x.shape[0], u, k)):
             x = gs.fused_generator_stage(
                 x, p['ups_%d' % i], stage, ch, u, k, kernel_sizes, dilations,
-                conv_post=p['conv_post'] if last else None)
+                conv_post=p['conv_post'] if last else None,
+                precision=precision)
             if last:
                 return x            # conv_post + tanh already applied
             continue

@@ -42,11 +42,31 @@ from pytorch_sound_tpu.ops.pallas.resblock import (HALO, LANE, TILE_T,
                                                    pack_stage_weights)
 
 
+def _const_spec(arr) -> pl.BlockSpec:
+    """Whole-array VMEM block, rank-agnostic (f32 or hi/lo-stacked weights)."""
+    return pl.BlockSpec(arr.shape, lambda b, i, _n=arr.ndim: (0,) * _n)
+
+
 def _pack_plane(x: jnp.ndarray, pack: int) -> jnp.ndarray:
-    """(N, C, T) -> (N // pack, T, pack * C), lane = p * C + c."""
+    """(N, C, T) -> (N // pack, T, 128): lane = p * C + c, zero lane padding."""
     n, c, t = x.shape
-    return x.reshape(n // pack, pack, c, t).transpose(0, 3, 1, 2) \
-            .reshape(n // pack, t, pack * c)
+    out = x.reshape(n // pack, pack, c, t).transpose(0, 3, 1, 2) \
+           .reshape(n // pack, t, pack * c)
+    return jnp.pad(out, [(0, 0), (0, 0), (0, LANE - pack * c)])
+
+
+def _pad_tap(w: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad a (pack*C, pack*C) block-diagonal tap to (128, 128)."""
+    p = w.shape[0]
+    return jnp.pad(w, [(0, LANE - p), (0, LANE - w.shape[1])])
+
+
+def best_pack(batch: int, c_out: int) -> int:
+    """Largest batch-packing factor: divides ``batch``, pack*c_out <= 128."""
+    pack = min(LANE // c_out, batch)
+    while batch % pack:
+        pack -= 1
+    return pack
 
 
 def _pack_up_weights(weight: jnp.ndarray, bias: jnp.ndarray, c_out: int,
@@ -67,8 +87,8 @@ def _pack_up_weights(weight: jnp.ndarray, bias: jnp.ndarray, c_out: int,
         for m in range(m_taps):
             j = r + m * u
             if j < k:
-                lo.append(jnp.kron(eye, weight[:c_out, :, j]))
-                hi.append(jnp.kron(eye, weight[c_out:, :, j]))
+                lo.append(_pad_tap(jnp.kron(eye, weight[:c_out, :, j])))
+                hi.append(_pad_tap(jnp.kron(eye, weight[c_out:, :, j])))
             else:
                 lo.append(zero)
                 hi.append(zero)
@@ -86,11 +106,50 @@ def _pack_post_weights(weight: jnp.ndarray, bias: jnp.ndarray, c: int,
     e0 = np.zeros((1, c), np.float32)
     e0[0, 0] = 1.0
     eye = jnp.eye(pack, dtype=jnp.float32)
-    taps = [jnp.kron(eye, weight[0, :, j][:, None] * jnp.asarray(e0))
+    taps = [_pad_tap(jnp.kron(eye, weight[0, :, j][:, None] * jnp.asarray(e0)))
             for j in range(k)]
     b_vec = np.zeros((LANE,), np.float32)
     b_vec[np.arange(pack) * c] = 1.0
     return jnp.stack(taps), jnp.asarray(b_vec) * bias[0]
+
+
+def _split_bf16(h):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= h to ~16 mantissa bits."""
+    hi = h.astype(jnp.bfloat16)
+    lo = (h - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_dot(precision):
+    """Returns dot(h, w_ref, idx): full-precision or 3-pass bf16 contraction.
+
+    'bf16x3' computes h_hi@w_hi + h_lo@w_hi + h_hi@w_lo on single-pass bf16
+    MXU ops (w_ref then holds a (2, n, 128, 128) bf16 hi/lo stack) — half the
+    MXU passes of f32-HIGHEST at ~1.5e-5 relative error (the dropped lo@lo
+    term); 'highest'/'default' use a plain f32 dot at that XLA precision.
+    """
+    if precision == 'bf16x3':
+        def dot(h, w_ref, idx):
+            # split after any rolls: Mosaic can't rotate bf16 vectors
+            h_hi, h_lo = _split_bf16(h)
+            kw = dict(preferred_element_type=jnp.float32)
+            w_hi = w_ref[0, idx]
+            return (jnp.dot(h_hi, w_hi, **kw)
+                    + jnp.dot(h_lo, w_hi, **kw)
+                    + jnp.dot(h_hi, w_ref[1, idx], **kw))
+        return dot
+
+    prec = {'highest': jax.lax.Precision.HIGHEST,
+            'default': jax.lax.Precision.DEFAULT}[precision]
+
+    def dot(h, w_ref, idx):
+        return jnp.dot(h, w_ref[idx], preferred_element_type=jnp.float32,
+                       precision=prec)
+    return dot
+
+
+def _roll(h, shift):
+    return pltpu.roll(h, shift, 0) if shift else h
 
 
 def _stage_kernel(xlo_ref, xhi_ref, up_lo_ref, up_hi_ref, up_bias_ref,
@@ -123,19 +182,21 @@ def _stage_kernel(xlo_ref, xhi_ref, up_lo_ref, up_hi_ref, up_bias_ref,
     def lrelu(v, slope=0.1):
         return jnp.where(v > 0, v, slope * v)
 
+    dot = _make_dot(precision)
+
     xlo = lrelu(lo_scr[...]) * valid_in
     xhi = lrelu(hi_scr[...]) * valid_in
 
     # polyphase transpose conv: y_r[q] = sum_m x[q-m] @ W[r + m*u]
-    kwargs = dict(preferred_element_type=jnp.float32, precision=precision)
+    zeros = jnp.zeros((rows_in, LANE), jnp.float32)
     phases = []
     for r in range(u):
-        y = jnp.zeros_like(xlo)
+        y = zeros
         for m in range(m_taps):
-            sl = pltpu.roll(xlo, m, 0) if m else xlo
-            sh = pltpu.roll(xhi, m, 0) if m else xhi
-            y = y + jnp.dot(sl, up_lo_ref[r * m_taps + m], **kwargs) \
-                  + jnp.dot(sh, up_hi_ref[r * m_taps + m], **kwargs)
+            sl = _roll(xlo, m)
+            sh = _roll(xhi, m)
+            y = y + dot(sl, up_lo_ref, r * m_taps + m) \
+                  + dot(sh, up_hi_ref, r * m_taps + m)
         phases.append(y + up_bias_ref[...][0][None, :])
     # interleave: Z[a*u + r] = y_r[a]  <=>  z = (q_start + a)*u + r
     z = jnp.stack(phases, axis=1).reshape(rows_in * u, LANE)
@@ -150,11 +211,11 @@ def _stage_kernel(xlo_ref, xhi_ref, up_lo_ref, up_hi_ref, up_bias_ref,
     def conv(h, ci):
         start, k, d = tap_meta[ci]
         half = (k - 1) // 2
-        y = jnp.zeros_like(h)
+        y = jnp.zeros((rows_out, LANE), jnp.float32)
         for j in range(k):
             shift = (j - half) * d
-            shifted = pltpu.roll(h, (-shift) % rows_out, 0) if shift else h
-            y = y + jnp.dot(shifted, taps_ref[start + j], **kwargs)
+            shifted = _roll(h, (-shift) % rows_out if shift else 0)
+            y = y + dot(shifted, taps_ref, start + j)
         return (y + bias_ref[ci][None, :]) * valid
 
     acc = jnp.zeros_like(x)
@@ -174,11 +235,11 @@ def _stage_kernel(xlo_ref, xhi_ref, up_lo_ref, up_hi_ref, up_bias_ref,
     if post_k:                        # fold conv_post + tanh on the last stage
         h = lrelu(res, 0.01)
         half = (post_k - 1) // 2
-        y = jnp.zeros_like(h)
+        y = jnp.zeros((rows_out, LANE), jnp.float32)
         for j in range(post_k):
             shift = j - half
-            shifted = pltpu.roll(h, (-shift) % rows_out, 0) if shift else h
-            y = y + jnp.dot(shifted, post_taps_ref[j], **kwargs)
+            shifted = _roll(h, (-shift) % rows_out if shift else 0)
+            y = y + dot(shifted, post_taps_ref, j)
         res = jnp.tanh((y + post_bias_ref[...][0][None, :]) * valid)
 
     out_ref[0] = res[HALO:HALO + tile_rows]
@@ -196,13 +257,15 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
 
     ``up_params``: {'weight' (C_in, C_out, k_up), 'bias'} of the stage's
     ConvTranspose1d; ``stage``: the three resblock param trees.
+    ``precision``: 'highest' (6-pass f32, exact flax parity), 'bf16x3'
+    (3-pass hi/lo bf16 split, ~2x faster matmuls at ~1e-4 waveform error),
+    or 'default' (single bf16 pass, fastest, ~1e-2 error).
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     n, c_in, t_in = x.shape
-    assert c_in == 2 * c_out and LANE % c_out == 0 and c_out <= LANE
-    pack = LANE // c_out
-    assert n % pack == 0
+    assert c_in == 2 * c_out and c_out <= LANE
+    pack = best_pack(n, c_out)
     pad = (k_up - u) // 2
     assert 0 <= pad < u and HALO % u == 0, 'unsupported upsample geometry'
     t_out = t_in * u
@@ -216,7 +279,7 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
         jnp.asarray(up_params['weight']), jnp.asarray(up_params['bias']),
         c_out, u, pack)
     taps, bias_arr, tap_meta, plan = pack_stage_weights(
-        stage, c_out, kernel_sizes, dilations)
+        stage, c_out, kernel_sizes, dilations, pack=pack)
     if conv_post is not None:
         post_taps, post_bias = _pack_post_weights(
             jnp.asarray(conv_post['weight']), jnp.asarray(conv_post['bias']),
@@ -227,8 +290,20 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
         post_bias = jnp.zeros((LANE,), jnp.float32)
         post_k = 0
 
-    halo_in = _round_up(HALO // u + m_taps, 8) + 8
+    # the input tile must cover the OUTPUT tile incl. both out-halos plus the
+    # polyphase back-taps: a_max - a_min needs (2*HALO + pad)/u + M extra rows
+    # beyond tile_t/u, split as HALO/u (front, via the plane padding) and
+    # halo_in (per side); under-covering corrupts interior tile boundaries
+    halo_in = _round_up((2 * HALO + pad) // u + m_taps + 2, 8)
     rows_in = tile_t // u + 2 * halo_in
+
+    if precision == 'bf16x3':   # hi/lo bf16 stacks for the 3-pass contraction
+        def prep(w):
+            hi = w.astype(jnp.bfloat16)
+            lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return jnp.stack([hi, lo])
+        up_lo, up_hi = prep(up_lo), prep(up_hi)
+        taps, post_taps = prep(taps), prep(post_taps)
 
     # two channel-half planes, front-padded so row 0 is q = -(HALO//u+halo_in)
     front = HALO // u + halo_in
@@ -238,13 +313,11 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
     xlo = jnp.pad(xlo, [(0, 0), (front, back - t_in), (0, 0)])
     xhi = jnp.pad(xhi, [(0, 0), (front, back - t_in), (0, 0)])
 
-    prec = {'highest': jax.lax.Precision.HIGHEST,
-            'default': jax.lax.Precision.DEFAULT}[precision]
     kernel = functools.partial(
         _stage_kernel, tap_meta=tap_meta, plan=plan, u=u, m_taps=m_taps,
         pad=pad, t_in=t_in, t_out=t_out, tile_rows=tile_t, halo_in=halo_in,
         rows_in=rows_in, n_blocks=len(kernel_sizes), post_k=post_k,
-        precision=prec)
+        precision=precision)
 
     out = pl.pallas_call(
         kernel,
@@ -252,12 +325,12 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),        # xlo stays in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),        # xhi stays in HBM
-            pl.BlockSpec(up_lo.shape, lambda b, i: (0, 0, 0)),
-            pl.BlockSpec(up_hi.shape, lambda b, i: (0, 0, 0)),
+            _const_spec(up_lo),
+            _const_spec(up_hi),
             pl.BlockSpec((1, LANE), lambda b, i: (0, 0)),
-            pl.BlockSpec(taps.shape, lambda b, i: (0, 0, 0)),
+            _const_spec(taps),
             pl.BlockSpec(bias_arr.shape, lambda b, i: (0, 0)),
-            pl.BlockSpec(post_taps.shape, lambda b, i: (0, 0, 0)),
+            _const_spec(post_taps),
             pl.BlockSpec((1, LANE), lambda b, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile_t, LANE), lambda b, i: (b, i, 0)),
@@ -279,13 +352,12 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
     if conv_post is not None:   # waveform lives at lane p*c_out of each group
         wav = out[:, :, ::c_out][:, :, :pack]        # (N/pack, T, pack)
         return wav.transpose(0, 2, 1).reshape(n, 1, t_out)
-    return out.reshape(n // pack, t_out, pack, c_out) \
+    return out[:, :, :pack * c_out].reshape(n // pack, t_out, pack, c_out) \
               .transpose(0, 2, 3, 1).reshape(n, c_out, t_out)
 
 
 def stage_eligible(c_out: int, batch: int, u: int, k_up: int) -> bool:
-    """Lane-packing + polyphase geometry constraints for the fused stage."""
+    """Polyphase geometry constraints for the fused stage (any batch size —
+    the packing factor adapts, padding unused lanes)."""
     pad = (k_up - u) // 2
-    return (c_out <= LANE and LANE % c_out == 0
-            and batch % (LANE // c_out) == 0
-            and 0 <= pad < u and HALO % u == 0)
+    return c_out <= LANE and 0 <= pad < u and HALO % u == 0

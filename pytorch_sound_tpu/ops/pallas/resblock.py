@@ -54,17 +54,23 @@ def stage_plan(kernel_sizes: Sequence[int],
 
 def pack_stage_weights(params: dict, channels: int,
                        kernel_sizes: Sequence[int] = (3, 7, 11),
-                       dilations: Sequence[Sequence[int]] = ((1, 3, 5),) * 3):
+                       dilations: Sequence[Sequence[int]] = ((1, 3, 5),) * 3,
+                       pack: int = None):
     """Marshal a stage's ResBlock1 param trees into kernel constants.
 
     :param params: dict with 'resblocks_{i}' entries for this stage's blocks
         (folded weights: each conv has 'weight' (C, C, k) torch-layout + 'bias')
+    :param pack: batch-packing factor (default the full 128 // channels);
+        smaller packs zero-pad the unused lanes
     :returns: (taps (n_taps, 128, 128) block-diagonal weights,
                biases (n_convs_pad, 128), tap metadata, plan)
     """
-    pack = LANE // channels
+    pack = pack or LANE // channels
     plan = stage_plan(kernel_sizes, dilations)
     eye = jnp.eye(pack, dtype=jnp.float32)
+
+    def pad_tap(w):
+        return jnp.pad(w, [(0, LANE - w.shape[0]), (0, LANE - w.shape[1])])
 
     tap_ws, biases, tap_meta = [], [], []
     tap_idx = 0
@@ -79,7 +85,7 @@ def pack_stage_weights(params: dict, channels: int,
         for j in range(k):
             # block-diagonal lane packing, trace-compatible (params may be
             # traced jit arguments): kron(I_P, W_j^T)
-            tap_ws.append(jnp.kron(eye, w[:, :, j].T))
+            tap_ws.append(pad_tap(jnp.kron(eye, w[:, :, j].T)))
             tap_idx += 1
         b_packed = jnp.tile(bias, pack)
         biases.append(jnp.pad(b_packed, (0, LANE - b_packed.shape[0])))

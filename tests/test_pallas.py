@@ -176,3 +176,25 @@ def test_fused_full_stage_multi_tile():
     out = np.asarray(hg.generator_apply_fused(gen, params, mel, full_stage=True))
     assert out.shape == (4, 1, 16384)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_fused_full_stage_any_batch():
+    """Batch sizes that don't fill the lane packing (1, 3) still fuse — the
+    packing factor adapts and pads unused lanes (round-2 fix: batch-1 decode
+    previously fell back to flax silently)."""
+    from pytorch_sound_tpu.models import build_model
+    from pytorch_sound_tpu.ops.pallas.gen_stage import best_pack
+    import pytorch_sound_tpu.models.vocoders.hifi_gan as hg
+
+    assert best_pack(1, 8) == 1 and best_pack(3, 8) == 3
+    assert best_pack(32, 8) == 16 and best_pack(6, 32) == 3
+
+    rng = np.random.default_rng(14)
+    gen = build_model('hifi_gan_v2', extra_kwargs={
+        'upsample_initial_channel': 64, 'use_weight_norm': False})
+    for n in (1, 3):
+        mel = jnp.asarray(rng.standard_normal((n, 80, 29)), dtype=jnp.float32)
+        params = gen.init(jax.random.PRNGKey(n), mel)
+        ref = np.asarray(gen.apply(params, mel))
+        out = np.asarray(hg.generator_apply_fused(gen, params, mel, True))
+        np.testing.assert_allclose(out, ref, atol=2e-5)

@@ -120,3 +120,28 @@ def test_cli_help_and_unknown(capsys):
     assert 'vctk' in outp and 'voice_bank' in outp and 'extract_features' in outp
     with pytest.raises(SystemExit):
         fire_like(Processor, ['definitely_not_a_command'])
+
+
+def test_extract_features_overlapped(tmp_path):
+    """The double-buffered extract_features pipeline writes one (80, T) mel
+    per utterance with correct per-file frame counts."""
+    import numpy as np
+    from pytorch_sound_tpu import settings
+    from pytorch_sound_tpu.utils.wavio import write_wav
+
+    in_dir, out_dir = str(tmp_path / 'in'), str(tmp_path / 'out')
+    os.makedirs(in_dir)
+    sr = settings.SAMPLE_RATE
+    lengths = [sr, sr + 1234, sr // 2, 2 * sr, sr + 7]
+    rng = np.random.default_rng(0)
+    for i, n in enumerate(lengths):
+        write_wav(os.path.join(in_dir, 'u%02d.wav' % i),
+                  (0.1 * rng.standard_normal(n)).astype(np.float32), sr)
+
+    Processor.extract_features(in_dir, out_dir, batch_size=2, pad_seconds=2.5)
+
+    for i, n in enumerate(lengths):
+        mel = np.load(os.path.join(out_dir, 'u%02d.mel.npy' % i))
+        n_eff = min(n, int(2.5 * sr))
+        assert mel.shape == (settings.MEL_SIZE, n_eff // settings.HOP_LENGTH + 1)
+        assert np.isfinite(mel).all()
