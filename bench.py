@@ -109,12 +109,40 @@ def bench_vocoder(batch: int = 32, frames: int = 256, precision: str = 'highest'
     return samples / dt
 
 
-def bench_preprocess(batch: int = 16, seconds: float = 4.0, fused: bool = True):
+def bench_streaming_decode(frames: int = 4096, chunk_frames: int = 256,
+                           precision: str = 'highest'):
+    """Long-mel batched streaming decode (BASELINE config 4): one 4096-frame
+    mel (~47.6 s of audio) split into overlap chunks that are stacked into the
+    batch axis and decoded in grouped dispatches. samples/sec."""
+    import jax.numpy as jnp
+    from pytorch_sound_tpu.interface.hifi_gan import InterfaceHifiGAN
+
+    iface = InterfaceHifiGAN('hifi_gan_v2', precision=precision)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal((1, 80, frames)).astype(np.float32))
+
+    def run():
+        wav = iface.decode_streaming(mel, chunk_frames=chunk_frames)
+        return float(np.asarray(wav).ravel()[0])
+
+    run()                                   # compile all chunk groups
+    t0 = time.perf_counter()
+    iters = 4
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    return frames * 256 / dt
+
+
+def bench_preprocess(batch: int = 16, seconds: float = 4.0, fused: bool = True,
+                     precision: str = 'bf16x3'):
     """On-device STFT+mel feature extraction throughput (utterances/sec/chip)
     at settings.py defaults over `seconds`-long utterances.
 
     ``fused=True`` uses the Pallas fused frame+DFT+mel kernel (the north-star
-    path); False measures the XLA composite for comparison.
+    path); False measures the XLA composite for comparison. ``precision``
+    selects the fused contraction mode ('highest' = 6-pass f32, exact;
+    'bf16x3' = 3-pass hi/lo split, ~1e-4 max log-mel error — the e2e default).
     """
     import jax
     import jax.numpy as jnp
@@ -130,7 +158,7 @@ def bench_preprocess(batch: int = 16, seconds: float = 4.0, fused: bool = True):
             settings.WIN_LENGTH, settings.HOP_LENGTH,
             settings.MIN_DB, settings.MAX_DB, settings.MEL_MIN, settings.MEL_MAX)
     if fused and jax.default_backend() == 'tpu':
-        fn = lambda w: fused_log_mel(w, *args)          # noqa: E731
+        fn = lambda w: fused_log_mel(w, *args, precision=precision)  # noqa: E731
     else:
         fn = lambda w: mel_ops.log_mel_spectrogram(w, *args)  # noqa: E731
 
@@ -179,7 +207,7 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
             settings.HOP_LENGTH, settings.MIN_DB, settings.MAX_DB,
             settings.MEL_MIN, settings.MEL_MAX)
     if jax.default_backend() == 'tpu':
-        mel_fn = jax.jit(lambda w: fused_log_mel(w, *args))
+        mel_fn = jax.jit(lambda w: fused_log_mel(w, *args, precision='bf16x3'))
     else:
         mel_fn = jax.jit(lambda w: log_mel_spectrogram(w, *args))
 
@@ -362,11 +390,17 @@ def main():
         details['vocoder_samples_per_sec'] = bench_vocoder()
         details['vocoder_samples_per_sec_bf16x3'] = bench_vocoder(
             precision='bf16x3')
+        details['streaming_decode_samples_per_sec'] = bench_streaming_decode()
     except Exception as e:   # keep the one-line contract even on failure
         details['vocoder_error'] = repr(e)
     try:
         details['preprocess_utterances_per_sec'] = bench_preprocess(fused=True)
+        details['preprocess_utterances_per_sec_f32'] = bench_preprocess(
+            fused=True, precision='highest')
         details['preprocess_utterances_per_sec_xla'] = bench_preprocess(fused=False)
+        details['preprocess_fused_vs_xla_ratio'] = (
+            details['preprocess_utterances_per_sec']
+            / details['preprocess_utterances_per_sec_xla'])
         details['preprocess_e2e_utterances_per_sec'] = bench_preprocess_e2e()
     except Exception as e:
         details['preprocess_error'] = repr(e)

@@ -4,7 +4,7 @@ The BASELINE north-star kernel: the whole log-mel frontend in ONE pass through
 VMEM — the 513-bin spectrogram never exists in HBM. Per grid program:
 
     DMA wav span (HBM -> VMEM scratch)
-      -> build 32 overlapping frames via 4 shifted reshapes (no gather)
+      -> build TILE overlapping frames via `ratio` shifted reshapes (no gather)
       -> frames @ cos/sin windowed-DFT bases  (MXU)
       -> magnitude (VPU)
       -> mag @ mel filterbank                 (MXU)
@@ -14,10 +14,24 @@ Numerics match `ops.mel.log_mel_spectrogram` (reference LogMelSpectrogram,
 `/root/reference/pytorch_sound/models/transforms.py:206-244`): centered reflect
 pad, hann window, slaney mel, log(mel + 1e-6), db->log clamping.
 
-Layout notes: DFT bases are (n_fft, F_pad) with F_pad = 513 rounded up to a
-lane multiple (640); mel filter is (F_pad, 128) with mels padded 80 -> 128.
-Padded columns contribute exact zeros through both matmuls and are sliced off
-by the host-side wrapper.
+Performance structure (see docs/KERNELS.md for the measured roofline):
+
+- **fmax trim.** Spectral bins whose mel-filter column is all-zero cannot
+  affect the output, so the DFT bases are truncated at the last bin the
+  filterbank touches. At settings defaults (MEL_MAX = 8000 Hz, sr 22050,
+  n_fft 1024) that is bin 373 of 513 -> the padded contraction width drops
+  640 -> 384, a 40% FLOP cut with bit-identical results.
+- **Full-height MXU tiles.** TILE frames per program is 128 (not 32), so the
+  M dimension of the DFT matmuls fills the systolic array's 128 rows.
+- **bf16x3 contraction** (opt-in, default for the e2e preprocess path): the
+  frames are split into a hi/lo bf16 pair (~16 mantissa bits) and contracted
+  against hi/lo bf16 bases in 3 single-pass MXU ops per matmul — half the
+  passes of an f32 `highest` contraction (6) for ~1e-4 max log-mel error.
+
+Layout notes: DFT bases are (n_fft, F_pad) with F_pad = the trimmed bin count
+rounded up to a lane multiple; mel filter is (F_pad, 128) with mels padded
+80 -> 128. Padded columns contribute exact zeros through both matmuls and are
+sliced off by the host-side wrapper.
 """
 
 import functools
@@ -33,7 +47,7 @@ from pytorch_sound_tpu.ops import filters
 from pytorch_sound_tpu.ops.mel import db_to_log
 
 LANE = 128
-TILE_FRAMES = 32
+TILE_FRAMES = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -43,27 +57,56 @@ def _round_up(x: int, m: int) -> int:
 @functools.lru_cache(maxsize=8)
 def _constants(sample_rate: int, n_fft: int, win_length: int, n_mels: int,
                fmin: float, fmax: Optional[float]):
-    """(cos_basis (n_fft, F_pad), sin_basis (n_fft, F_pad), mel (F_pad, M_pad))."""
+    """(cos_basis (n_fft, F_pad), sin_basis, mel (F_pad, M_pad)) — trimmed.
+
+    F_pad covers only the spectral bins the mel filterbank actually weights
+    (rounded up to a lane multiple); higher bins have exactly-zero mel weight
+    and are dropped from the contraction entirely.
+    """
     cutoff = n_fft // 2 + 1
-    f_pad = _round_up(cutoff, LANE)
+    mel = filters.mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
+    nz = np.nonzero(np.any(mel != 0.0, axis=0))[0]
+    f_used = int(nz[-1]) + 1 if nz.size else cutoff
+    f_pad = _round_up(f_used, LANE)
     m_pad = _round_up(n_mels, LANE)
 
     basis = filters.stft_basis(n_fft, win_length, 'hann')   # (2*cutoff, n_fft)
     cos_b = np.zeros((n_fft, f_pad), np.float32)
     sin_b = np.zeros((n_fft, f_pad), np.float32)
-    cos_b[:, :cutoff] = basis[:cutoff].T
-    sin_b[:, :cutoff] = basis[cutoff:].T
+    cos_b[:, :f_used] = basis[:f_used].T
+    sin_b[:, :f_used] = basis[cutoff:cutoff + f_used].T
 
-    mel = filters.mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
     mel_pad = np.zeros((f_pad, m_pad), np.float32)
-    mel_pad[:cutoff, :n_mels] = mel.T
+    mel_pad[:f_used, :n_mels] = mel[:, :f_used].T
     return cos_b, sin_b, mel_pad
+
+
+@functools.lru_cache(maxsize=8)
+def _constants_bf16x3(sample_rate: int, n_fft: int, win_length: int,
+                      n_mels: int, fmin: float, fmax: Optional[float]):
+    """bf16 hi/lo stacks (2, n_fft, F_pad) of the DFT bases for 3-pass mode."""
+    cos_b, sin_b, mel_pad = _constants(sample_rate, n_fft, win_length,
+                                       n_mels, fmin, fmax)
+
+    def stack(x):
+        hi = x.astype(np.float32).astype(jnp.bfloat16)
+        lo = (x - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        return np.stack([np.asarray(hi), np.asarray(lo)])
+
+    return stack(cos_b), stack(sin_b), mel_pad
+
+
+def _split_bf16(h):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= h to ~16 mantissa bits."""
+    hi = h.astype(jnp.bfloat16)
+    lo = (h - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _kernel(wav_ref, cos_ref, sin_ref, mel_ref, out_ref, scratch, sem,
             *, hop_length: int, n_fft: int, padded_len: int, span_rows: int,
-            log_offset: float, lo: float, hi: float, power_eps: float,
-            log_floor: float, precision):
+            tile_frames: int, log_offset: float, lo: float, hi: float,
+            power_eps: float, log_floor: float, precision, bf16x3: bool):
     b = pl.program_id(0)
     tile = pl.program_id(1)
 
@@ -71,7 +114,7 @@ def _kernel(wav_ref, cos_ref, sin_ref, mel_ref, out_ref, scratch, sem,
     # wav[k*hop : (k+1)*hop]. All row offsets are 8-multiples (2D tiling), so
     # one aligned span DMA suffices.
     rows_per_wav = padded_len // hop_length
-    base_row = pl.multiple_of(b * rows_per_wav + tile * TILE_FRAMES, 8)
+    base_row = pl.multiple_of(b * rows_per_wav + tile * tile_frames, 8)
     dma = pltpu.make_async_copy(wav_ref.at[pl.ds(base_row, span_rows)],
                                 scratch, sem)
     dma.start()
@@ -82,17 +125,27 @@ def _kernel(wav_ref, cos_ref, sin_ref, mel_ref, out_ref, scratch, sem,
     ratio = n_fft // hop_length
     x = scratch[:]
     frames = jnp.concatenate(
-        [pltpu.roll(x, (span_rows - r) % span_rows, 0)[:TILE_FRAMES]
+        [pltpu.roll(x, (span_rows - r) % span_rows, 0)[:tile_frames]
          for r in range(ratio)], axis=1)
 
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32,
-                 precision=precision)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32,
-                 precision=precision)
+    kw = dict(preferred_element_type=jnp.float32)
+    if bf16x3:
+        # split AFTER the rolls (Mosaic can't rotate bf16 vectors); bases are
+        # pre-stacked (2, n_fft, F_pad) bf16 hi/lo. hi@hi + lo@hi + hi@lo on
+        # single-pass bf16 MXU ops == 3 passes vs highest-f32's 6.
+        f_hi, f_lo = _split_bf16(frames)
+        c_hi, s_hi = cos_ref[0], sin_ref[0]
+        re = (jnp.dot(f_hi, c_hi, **kw) + jnp.dot(f_lo, c_hi, **kw)
+              + jnp.dot(f_hi, cos_ref[1], **kw))
+        im = (jnp.dot(f_hi, s_hi, **kw) + jnp.dot(f_lo, s_hi, **kw)
+              + jnp.dot(f_hi, sin_ref[1], **kw))
+    else:
+        re = jnp.dot(frames, cos_ref[:], precision=precision, **kw)
+        im = jnp.dot(frames, sin_ref[:], precision=precision, **kw)
     mag = jnp.sqrt(re * re + im * im + power_eps)
 
     mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32,
-                  precision=precision)
+                  precision=jax.lax.Precision.HIGHEST if bf16x3 else precision)
     if log_floor > 0.0:     # HiFi-GAN convention: log(clamp(mel, floor))
         out = jnp.log(jnp.maximum(mel, log_floor))
     else:                   # LogMelSpectrogram convention: log(mel + offset)
@@ -108,17 +161,20 @@ def fused_log_mel(wav: jnp.ndarray, sample_rate: int = 22050, mel_size: int = 80
                   log_offset: float = 1e-6, precision: str = 'highest',
                   interpret: Optional[bool] = None, pad: Optional[int] = None,
                   pad_mode: str = 'reflect', power_eps: float = 0.0,
-                  log_floor: float = 0.0) -> jnp.ndarray:
+                  log_floor: float = 0.0,
+                  tile_frames: Optional[int] = None) -> jnp.ndarray:
     """Fused log-mel: wav (B, T) -> (B, mel_size, n_frames).
 
-    Same numerics as ``ops.mel.log_mel_spectrogram`` at matching arguments
-    (max err ~6e-6 at precision='highest'; 'default' is ~2x faster with
-    bf16-pass matmuls, max err ~1e-2 in log-mel units).
+    Same numerics as ``ops.mel.log_mel_spectrogram`` at matching arguments.
+    ``precision``: 'highest' (6-pass f32 contraction, max err ~6e-6),
+    'bf16x3' (3-pass hi/lo bf16 split, ~1e-4 max log-mel error, ~2x matmul
+    throughput), or 'default' (single bf16 pass, fastest, ~1e-2 error).
     Requires hop | n_fft and n_fft == win_length (the settings.py geometry).
     ``interpret`` defaults to True off-TPU (pure-python Pallas interpreter).
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    bf16x3 = precision == 'bf16x3'
     prec = (jax.lax.Precision.HIGHEST if precision == 'highest'
             else jax.lax.Precision.DEFAULT)
     assert wav.ndim == 2, 'fused_log_mel expects (B, T)'
@@ -131,18 +187,27 @@ def fused_log_mel(wav: jnp.ndarray, sample_rate: int = 22050, mel_size: int = 80
     # padded_len is sublane-tiled so flattened DMA offsets satisfy Mosaic
     if pad is None:
         pad = n_fft // 2
-    wav = jnp.pad(wav, [(0, 0), (pad, pad)], mode=pad_mode)
+    if pad:
+        wav = jnp.pad(wav, [(0, 0), (pad, pad)], mode=pad_mode)
     n_frames = 1 + (wav.shape[1] - n_fft) // hop_length
-    n_tiles = max(1, -(-n_frames // TILE_FRAMES))
+    # full-MXU-height tiles by default; shrink for short inputs so we don't
+    # burn a mostly-padding program
+    tile = tile_frames or min(TILE_FRAMES, max(8, _round_up(n_frames, 8)))
+    n_tiles = max(1, -(-n_frames // tile))
     # span in hop-rows, rounded to the 2D sublane tiling (8)
-    span_rows = _round_up((TILE_FRAMES - 1) + n_fft // hop_length, 8)
-    need = ((n_tiles - 1) * TILE_FRAMES + span_rows) * hop_length
+    span_rows = _round_up((tile - 1) + n_fft // hop_length, 8)
+    need = ((n_tiles - 1) * tile + span_rows) * hop_length
     need = _round_up(need, 8 * hop_length)
     if wav.shape[1] < need:
         wav = jnp.pad(wav, [(0, 0), (0, need - wav.shape[1])])
 
-    cos_b, sin_b, mel_pad = _constants(sample_rate, n_fft, win_length,
-                                       mel_size, mel_min, mel_max)
+    if bf16x3:
+        cos_b, sin_b, mel_pad = _constants_bf16x3(
+            sample_rate, n_fft, win_length, mel_size, mel_min, mel_max)
+    else:
+        cos_b, sin_b, mel_pad = _constants(sample_rate, n_fft, win_length,
+                                           mel_size, mel_min, mel_max)
+    f_pad = mel_pad.shape[0]
     m_pad = mel_pad.shape[1]
     lo = db_to_log(min_db) if min_db else -np.inf
     hi = db_to_log(max_db) if max_db else np.inf
@@ -150,39 +215,40 @@ def fused_log_mel(wav: jnp.ndarray, sample_rate: int = 22050, mel_size: int = 80
     padded_len = wav.shape[1]
     kernel = functools.partial(
         _kernel, hop_length=hop_length, n_fft=n_fft,
-        padded_len=padded_len, span_rows=span_rows,
+        padded_len=padded_len, span_rows=span_rows, tile_frames=tile,
         log_offset=log_offset, lo=lo, hi=hi, power_eps=power_eps,
-        log_floor=log_floor, precision=prec)
+        log_floor=log_floor, precision=prec, bf16x3=bf16x3)
 
     wav = wav.reshape(-1, hop_length)   # hop-row view over all batch rows
+    passes = 3 if bf16x3 else (6 if precision == 'highest' else 1)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),            # wav stays in HBM
-            pl.BlockSpec(cos_b.shape, lambda i, j: (0, 0),
+            pl.BlockSpec(cos_b.shape, lambda i, j: (0,) * cos_b.ndim,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(sin_b.shape, lambda i, j: (0, 0),
+            pl.BlockSpec(sin_b.shape, lambda i, j: (0,) * sin_b.ndim,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(mel_pad.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_FRAMES, m_pad),
+        out_specs=pl.BlockSpec((1, tile, m_pad),
                                lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE_FRAMES, m_pad),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile, m_pad),
                                        jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((span_rows, hop_length), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_tiles * TILE_FRAMES * n_fft * (2 * cos_b.shape[1] + 1),
-            bytes_accessed=wav.size * 4 + b * n_tiles * TILE_FRAMES * m_pad * 4,
-            transcendentals=b * n_tiles * TILE_FRAMES * m_pad,
+            flops=2 * b * n_tiles * tile * n_fft * (2 * f_pad + 1) * passes,
+            bytes_accessed=wav.size * 4 + b * n_tiles * tile * m_pad * 4,
+            transcendentals=b * n_tiles * tile * m_pad,
         ),
         interpret=interpret,
-    )(wav, cos_b, sin_b, mel_pad)
+    )(wav, np.asarray(cos_b), np.asarray(sin_b), mel_pad)
 
     return out[:, :n_frames, :mel_size].swapaxes(1, 2)
 

@@ -588,7 +588,8 @@ class Processor:
 
     @staticmethod
     def extract_features(in_dir: str, out_dir: str, batch_size: int = 16,
-                         pad_seconds: float = 10.0, sample_rate: int = 22050):
+                         pad_seconds: float = 10.0, sample_rate: int = 22050,
+                         precision: str = 'bf16x3'):
         """NEW (TPU path): batched on-device fused log-mel over a corpus.
 
         The host pipeline is DOUBLE-BUFFERED against the device: a producer
@@ -619,7 +620,7 @@ class Processor:
                 settings.WIN_LENGTH, hop, settings.MIN_DB, settings.MAX_DB,
                 settings.MEL_MIN, settings.MEL_MAX)
         if jax.default_backend() == 'tpu':
-            run = jax.jit(lambda x: fused_log_mel(x, *args))
+            run = jax.jit(lambda x: fused_log_mel(x, *args, precision=precision))
         else:
             run = jax.jit(lambda x: log_mel_spectrogram(x, *args))
 

@@ -50,6 +50,44 @@ def test_fused_logmel_jittable():
     np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(wav)), atol=1e-4)
 
 
+def test_fused_logmel_bf16x3_mode():
+    """3-pass hi/lo-bf16 contraction: ~2x fewer MXU passes than 'highest',
+    log-mel error bounded well under perceptual relevance (~1e-4)."""
+    rng = np.random.default_rng(7)
+    wav = jnp.asarray(rng.standard_normal((2, 30011)).astype(np.float32) * 0.3)
+    out_p = fused_log_mel(wav, s.SAMPLE_RATE, s.MEL_SIZE, s.N_FFT,
+                          s.WIN_LENGTH, s.HOP_LENGTH, precision='bf16x3', **KW)
+    out_x = _ref(wav)
+    assert out_p.shape == out_x.shape
+    assert float(jnp.abs(out_p - out_x).max()) < 2e-3
+
+
+def test_fused_logmel_fmax_trim_exact():
+    """Zero-weight spectral bins above fmax are dropped from the contraction;
+    the result must be bit-comparable to the untrimmed formula (fmax=None
+    keeps all 513 bins, fmax=8000 trims to 373 -> both must match XLA)."""
+    rng = np.random.default_rng(8)
+    wav = jnp.asarray(rng.standard_normal((1, 16384)).astype(np.float32) * 0.2)
+    for fmax in (None, 8000.0):
+        out_p = fused_log_mel(wav, s.SAMPLE_RATE, s.MEL_SIZE, s.N_FFT,
+                              s.WIN_LENGTH, s.HOP_LENGTH, mel_max=fmax)
+        out_x = mel_ops.log_mel_spectrogram(
+            wav, s.SAMPLE_RATE, s.MEL_SIZE, s.N_FFT, s.WIN_LENGTH,
+            s.HOP_LENGTH, mel_max=fmax)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                                   atol=1e-4)
+
+
+def test_fused_logmel_tile_frames_override():
+    rng = np.random.default_rng(9)
+    wav = jnp.asarray(rng.standard_normal((2, 50000)).astype(np.float32) * 0.2)
+    ref = _ref(wav)
+    for tf in (32, 64, 128):
+        out = fused_log_mel(wav, s.SAMPLE_RATE, s.MEL_SIZE, s.N_FFT,
+                            s.WIN_LENGTH, s.HOP_LENGTH, tile_frames=tf, **KW)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_fused_hifigan_mel_matches_xla_path():
     from pytorch_sound_tpu.ops.pallas.logmel import fused_hifigan_mel
     rng = np.random.default_rng(3)
