@@ -345,7 +345,8 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
                           precision=jax.lax.Precision.HIGHEST)
 
     def flash(q, k, v):
-        return flash_attention_trainable(q, k, v, None, 128, 128, False)
+        return flash_attention_trainable(q, k, v, None, 128, 512, False,
+                                         'highest')
 
     def loss(f):
         return lambda q, k, v: jnp.sum(jnp.sin(f(q, k, v)))
@@ -362,7 +363,8 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
         'dk_max_abs_err': float(jnp.abs(gf[1] - gd[1]).max()),
         'dv_max_abs_err': float(jnp.abs(gf[2] - gd[2]).max()),
     }
-    res['parity_ok'] = all(res[k] < 5e-3 for k in
+    # kernel and dense reference both contract at f32-HIGHEST -> tight bar
+    res['parity_ok'] = all(res[k] < 1e-4 for k in
                            ('fwd_max_abs_err', 'dq_max_abs_err',
                             'dk_max_abs_err', 'dv_max_abs_err'))
 
@@ -375,9 +377,39 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
             return state * (1.0 + 1e-4 * jnp.tanh(val)) + 1e-6 * dq, val
         return step
 
+    def flash_b3(q, k, v):
+        return flash_attention_trainable(q, k, v, None, 128, 512, False,
+                                         'bf16x3')
+
+    # bf16x3 parity too (the blockwise_attention auto default)
+    out_b3 = jax.jit(flash_b3)(q, k, v)
+    gb3 = jax.jit(jax.grad(loss(flash_b3), argnums=(0,)))(q, k, v)
+    res['bf16x3_fwd_max_abs_err'] = float(jnp.abs(out_b3 - out_d).max())
+    res['bf16x3_dq_max_abs_err'] = float(jnp.abs(gb3[0] - gd[0]).max())
+
     res['flash_fwd_bwd_ms'] = _timeit_chained(make_step(flash), q, iters=8) * 1e3
+    res['flash_fwd_bwd_ms_bf16x3'] = _timeit_chained(
+        make_step(flash_b3), q, iters=8) * 1e3
     res['dense_fwd_bwd_ms'] = _timeit_chained(make_step(dense), q, iters=8) * 1e3
-    res['speedup_vs_dense'] = res['dense_fwd_bwd_ms'] / res['flash_fwd_bwd_ms']
+    res['speedup_vs_dense'] = (res['dense_fwd_bwd_ms']
+                               / res['flash_fwd_bwd_ms_bf16x3'])
+
+    # the long-sequence point (where O(T^2) starts to hurt dense)
+    q4, k4, v4 = (jnp.asarray(rng.standard_normal((n, h, 2 * t, d)),
+                              dtype=jnp.float32) for _ in range(3))
+
+    def make_step_kv(f, kk, vv):
+        g = jax.jit(jax.value_and_grad(lambda q: loss(f)(q, kk, vv)))
+
+        def step(state):
+            val, dq = g(state)
+            return state * (1.0 + 1e-4 * jnp.tanh(val)) + 1e-6 * dq, val
+        return step
+
+    res['flash_fwd_bwd_ms_bf16x3_t%d' % (2 * t)] = _timeit_chained(
+        make_step_kv(flash_b3, k4, v4), q4, iters=8) * 1e3
+    res['dense_fwd_bwd_ms_t%d' % (2 * t)] = _timeit_chained(
+        make_step_kv(dense, k4, v4), q4, iters=8) * 1e3
     return res
 
 

@@ -28,8 +28,30 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _split_bf16(h):
+    hi = h.astype(jnp.bfloat16)
+    lo = (h - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot(a, b, dims, precision: str):
+    """dot_general honoring precision: 'highest' (6-pass f32), 'bf16x3'
+    (3 single-pass bf16 contractions of hi/lo splits, ~1e-5 rel error), or
+    'default' (single bf16 pass)."""
+    kw = dict(preferred_element_type=jnp.float32)
+    if precision == 'bf16x3':
+        a_hi, a_lo = _split_bf16(a)
+        b_hi, b_lo = _split_bf16(b)
+        return (jax.lax.dot_general(a_hi, b_hi, dims, **kw)
+                + jax.lax.dot_general(a_lo, b_hi, dims, **kw)
+                + jax.lax.dot_general(a_hi, b_lo, dims, **kw))
+    prec = {'highest': jax.lax.Precision.HIGHEST,
+            'default': jax.lax.Precision.DEFAULT}[precision]
+    return jax.lax.dot_general(a, b, dims, precision=prec, **kw)
+
+
 def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_scr, l_scr, acc_scr,
-            *, scale: float, kv_steps: int):
+            *, scale: float, kv_steps: int, precision):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -43,8 +65,8 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_scr, l_scr, acc_scr,
     v = v_ref[0]                                   # (bk, d)
     valid = valid_ref[0]                           # (1, bk) float {0,1}
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    s = _dot(q, k, (((1,), (1,)), ((), ())),
+                                 precision) * scale
     s = jnp.where(valid > 0.5, s, NEG_INF)         # broadcast over q rows
 
     m_prev = m_scr[...]                            # (bq, LANE) row-replicated
@@ -57,8 +79,8 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_scr, l_scr, acc_scr,
     l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
         jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
     # alpha columns are row-replicated; a (bq, 1) slice broadcasts to any d_pad
-    acc_scr[...] = acc_scr[...] * alpha[:, :1] + jnp.dot(
-        p, v, preferred_element_type=jnp.float32)
+    acc_scr[...] = acc_scr[...] * alpha[:, :1] + _dot(
+        p, v, (((1,), (0,)), ((), ())), precision)
     m_scr[...] = m_new
 
     @pl.when(j == kv_steps - 1)
@@ -70,10 +92,13 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, m_scr, l_scr, acc_scr,
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     mask: Optional[jnp.ndarray] = None,
                     block_q: int = 128, block_kv: int = 128,
-                    interpret: Optional[bool] = None) -> jnp.ndarray:
+                    interpret: Optional[bool] = None,
+                    precision: str = 'highest') -> jnp.ndarray:
     """Softmax attention, (N, H, Tq, D) x (N, H, Tk, D) -> (N, H, Tq, D).
 
     :param mask: optional (N, Tk) boolean, True = key masked out.
+    :param precision: 'highest' (f32 contractions, ~1e-6 parity vs the dense
+        HIGHEST path) or 'default' (single-pass bf16 MXU, ~3e-3 error).
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -101,7 +126,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     key_valid = key_valid.reshape(n * h, 1, tk_pad).astype(jnp.float32)
 
     kv_steps = tk_pad // block_kv
-    kernel = functools.partial(_kernel, scale=scale, kv_steps=kv_steps)
+    kernel = functools.partial(_kernel, scale=scale, kv_steps=kv_steps,
+                               precision=precision)
 
     out = pl.pallas_call(
         kernel,
@@ -135,7 +161,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _fwd_res_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
-                    m_scr, l_scr, acc_scr, *, scale: float, kv_steps: int):
+                    m_scr, l_scr, acc_scr, *, scale: float, kv_steps: int,
+                    precision):
     """Forward kernel that also writes the logsumexp residual."""
     j = pl.program_id(2)
 
@@ -150,8 +177,8 @@ def _fwd_res_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
     v = v_ref[0]
     valid = valid_ref[0]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    s = _dot(q, k, (((1,), (1,)), ((), ())),
+                                 precision) * scale
     s = jnp.where(valid > 0.5, s, NEG_INF)
 
     m_prev = m_scr[...]
@@ -162,8 +189,8 @@ def _fwd_res_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
 
     l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
         jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
-    acc_scr[...] = acc_scr[...] * alpha[:, :1] + jnp.dot(
-        p, v, preferred_element_type=jnp.float32)
+    acc_scr[...] = acc_scr[...] * alpha[:, :1] + _dot(
+        p, v, (((1,), (0,)), ((), ())), precision)
     m_scr[...] = m_new
 
     @pl.when(j == kv_steps - 1)
@@ -175,7 +202,7 @@ def _fwd_res_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, di_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, scale: float, q_steps: int):
+                    *, scale: float, q_steps: int, precision):
     """Accumulate dK/dV for one KV block while scanning Q blocks."""
     i = pl.program_id(2)
 
@@ -192,18 +219,18 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, di_ref,
     di = di_ref[0][:, :1]
     valid = valid_ref[0]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    s = _dot(q, k, (((1,), (1,)), ((), ())),
+                                 precision) * scale
     s = jnp.where(valid > 0.5, s, NEG_INF)
     p = jnp.exp(s - lse)                                      # (bq, bk)
 
-    dv_scr[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    dv_scr[...] += _dot(p, do, (((0,), (0,)), ((), ())),
+                                            precision)
+    dp = _dot(do, v, (((1,), (1,)), ((), ())),
+                                  precision)
     ds = p * (dp - di) * scale
-    dk_scr[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+    dk_scr[...] += _dot(ds, q, (((0,), (0,)), ((), ())),
+                                            precision)
 
     @pl.when(i == q_steps - 1)
     def _finalize():
@@ -212,7 +239,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, di_ref,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, di_ref,
-                   dq_ref, dq_scr, *, scale: float, kv_steps: int):
+                   dq_ref, dq_scr, *, scale: float, kv_steps: int, precision):
     """Accumulate dQ for one Q block while scanning KV blocks."""
     j = pl.program_id(2)
 
@@ -228,14 +255,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, valid_ref, do_ref, lse_ref, di_ref,
     di = di_ref[0][:, :1]
     valid = valid_ref[0]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    s = _dot(q, k, (((1,), (1,)), ((), ())),
+                                 precision) * scale
     s = jnp.where(valid > 0.5, s, NEG_INF)
     p = jnp.exp(s - lse)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    dp = _dot(do, v, (((1,), (1,)), ((), ())),
+                                  precision)
     ds = p * (dp - di) * scale
-    dq_scr[...] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dq_scr[...] += _dot(ds, k, (((1,), (0,)), ((), ())), precision)
 
     @pl.when(j == kv_steps - 1)
     def _finalize():
@@ -257,20 +284,23 @@ def _key_valid_mask(mask, n, h, tk, tk_pad):
     return key_valid.reshape(n * h, 1, tk_pad).astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def flash_attention_trainable(q, k, v, key_valid_ext,
                               block_q: int = 128, block_kv: int = 128,
-                              interpret: Optional[bool] = None):
+                              interpret: Optional[bool] = None,
+                              precision: str = 'highest'):
     """Differentiable flash attention with Pallas forward AND backward kernels.
 
     ``key_valid_ext``: optional (N, Tk) float {0,1} validity (1 = attend);
     None = all valid. Same output as :func:`flash_attention`.
     """
-    out, _ = _flash_fwd_impl(q, k, v, key_valid_ext, block_q, block_kv, interpret)
+    out, _ = _flash_fwd_impl(q, k, v, key_valid_ext, block_q, block_kv,
+                             interpret, precision)
     return out
 
 
-def _flash_fwd_impl(q, k, v, key_valid_ext, block_q, block_kv, interpret):
+def _flash_fwd_impl(q, k, v, key_valid_ext, block_q, block_kv, interpret,
+                    precision='highest'):
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     n, h, tq, d = q.shape
@@ -287,7 +317,8 @@ def _flash_fwd_impl(q, k, v, key_valid_ext, block_q, block_kv, interpret):
     valid = _key_valid_mask(mask, n, h, tk, tk_pad)
 
     kv_steps = tk_pad // block_kv
-    kernel = functools.partial(_fwd_res_kernel, scale=scale, kv_steps=kv_steps)
+    kernel = functools.partial(_fwd_res_kernel, scale=scale,
+                               kv_steps=kv_steps, precision=precision)
     o, lse = pl.pallas_call(
         kernel,
         grid=(n * h, tq_pad // block_q, kv_steps),
@@ -318,13 +349,14 @@ def _flash_fwd_impl(q, k, v, key_valid_ext, block_q, block_kv, interpret):
     return out, (qf, kf, vf, valid, o, lse)
 
 
-def _flash_fwd_rule(q, k, v, key_valid_ext, block_q, block_kv, interpret):
+def _flash_fwd_rule(q, k, v, key_valid_ext, block_q, block_kv, interpret,
+                    precision):
     out, res = _flash_fwd_impl(q, k, v, key_valid_ext, block_q, block_kv,
-                               interpret)
+                               interpret, precision)
     return out, (res, q.shape, k.shape)
 
 
-def _flash_bwd_rule(block_q, block_kv, interpret, saved, dout):
+def _flash_bwd_rule(block_q, block_kv, interpret, precision, saved, dout):
     (qf, kf, vf, valid, o, lse), q_shape, k_shape = saved
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -343,7 +375,8 @@ def _flash_bwd_rule(block_q, block_kv, interpret, saved, dout):
     q_steps = tq_pad // block_q
     kv_steps = tk_pad // block_kv
 
-    dkv_kernel = functools.partial(_bwd_dkv_kernel, scale=scale, q_steps=q_steps)
+    dkv_kernel = functools.partial(_bwd_dkv_kernel, scale=scale,
+                                   q_steps=q_steps, precision=precision)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(n * h, kv_steps, q_steps),
@@ -373,7 +406,8 @@ def _flash_bwd_rule(block_q, block_kv, interpret, saved, dout):
         interpret=interpret,
     )(qf, kf, vf, valid, dof, lse, di)
 
-    dq_kernel = functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=kv_steps)
+    dq_kernel = functools.partial(_bwd_dq_kernel, scale=scale,
+                                  kv_steps=kv_steps, precision=precision)
     dq = pl.pallas_call(
         dq_kernel,
         grid=(n * h, tq_pad // block_q, kv_steps),

@@ -96,8 +96,29 @@ def test_blockwise_backend_dispatch():
     rng = np.random.default_rng(5)
     q, k, v = _qkv(rng, t=64, d=16)
     out_lax = blockwise_attention(q, k, v, block_size=32, backend='lax')
-    out_pal = blockwise_attention(q, k, v, block_size=32, backend='pallas')
+    out_pal = blockwise_attention(q, k, v, block_size=32, backend='pallas',
+                                  precision='highest')
     np.testing.assert_allclose(np.asarray(out_lax), np.asarray(out_pal), atol=1e-5)
+
+
+def test_flash_precision_modes():
+    """The precision knob: 'highest' is exact-grade everywhere; 'bf16x3' is
+    bounded loosely here because the CPU interpreter accumulates the hi/lo
+    passes sloppily — measured on-chip it is 5e-6 fwd / 2e-5 grads
+    (BENCH_DETAILS.json flash_attention_compiled)."""
+    from pytorch_sound_tpu.ops.pallas.flash_attention import (
+        flash_attention_trainable)
+    rng = np.random.default_rng(11)
+    q, k, v = _qkv(rng, t=96, d=16)
+    ref = _dense_attention(q, k, v)
+    hi = flash_attention_trainable(q, k, v, None, 32, 32, True, 'highest')
+    b3 = flash_attention_trainable(q, k, v, None, 32, 32, True, 'bf16x3')
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(ref), atol=1e-5)
+    assert float(jnp.abs(b3 - ref).max()) < 5e-3
+    # grads flow through every mode (custom_vjp plumbing)
+    g = jax.grad(lambda q: jnp.sum(flash_attention_trainable(
+        q, k, v, None, 32, 32, True, 'bf16x3') ** 2))(q)
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_ring_attention_matches_dense_on_mesh():
@@ -143,7 +164,8 @@ def test_blockwise_pallas_backend_is_differentiable():
 
     def loss(backend):
         return lambda q: jnp.sum(
-            blockwise_attention(q, k, v, block_size=32, backend=backend) ** 2)
+            blockwise_attention(q, k, v, block_size=32, backend=backend,
+                                precision='highest') ** 2)
 
     g_pal = jax.grad(loss('pallas'))(q)
     g_lax = jax.grad(loss('lax'))(q)
