@@ -332,4 +332,75 @@ int ts_batch_load(const char** paths, int n_files, int target_sr,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// int16 wire-format batch decode: rows of a contiguous (n_files, pad_len)
+// int16 matrix, zero-padded — the host->device payload for the on-device
+// resample+mel pipeline (half the bytes of f32, and the device converts with
+// one multiply). 16-bit PCM mono sources stream straight from the file into
+// the row (no float round-trip); everything else goes through the f32
+// decoder and quantizes with clamping. lens[i] = true sample count
+// (<0 on error); srs[i] = source sample rate.
+// ---------------------------------------------------------------------------
+
+int ts_batch_load_i16(const char** paths, int n_files, int16_t* out,
+                      int64_t pad_len, int64_t* lens, int* srs,
+                      int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> workers;
+  auto work = [&](int tid) {
+    for (int i = tid; i < n_files; i += n_threads) {
+      int16_t* row = out + (size_t)i * pad_len;
+      int sr = 0, ch = 0, bits = 0;
+      int64_t frames = 0;
+      if (ts_wav_info(paths[i], &sr, &frames, &ch, &bits) != 0) {
+        lens[i] = -1;
+        memset(row, 0, (size_t)pad_len * 2);
+        continue;
+      }
+      srs[i] = sr;
+      int64_t n = frames < pad_len ? frames : pad_len;
+      int64_t got = -1;
+      if (bits == 16 && ch == 1) {
+        // PCM16 mono: locate the data chunk and fread into the row directly
+        FILE* f = fopen(paths[i], "rb");
+        if (f) {
+          char riff[12];
+          char id[4];
+          uint32_t size;
+          if (fread(riff, 1, 12, f) == 12) {
+            while (read_chunk_header(f, id, &size) == 0) {
+              if (!memcmp(id, "data", 4)) {
+                got = (int64_t)fread(row, 2, (size_t)n, f);
+                break;
+              }
+              fseek(f, size + (size & 1), SEEK_CUR);
+            }
+          }
+          fclose(f);
+        }
+      }
+      if (got < 0) {   // general path: f32 decode + clamped quantization
+        std::vector<float> buf((size_t)n);
+        got = ts_read_wav(paths[i], buf.data(), n, &sr);
+        if (got < 0) {
+          lens[i] = -2;
+          memset(row, 0, (size_t)pad_len * 2);
+          continue;
+        }
+        for (int64_t s = 0; s < got; ++s) {
+          float v = buf[s] * 32768.0f;
+          if (v > 32767.0f) v = 32767.0f;
+          if (v < -32768.0f) v = -32768.0f;
+          row[s] = (int16_t)lrintf(v);
+        }
+      }
+      memset(row + got, 0, (size_t)(pad_len - got) * 2);
+      lens[i] = got;
+    }
+  };
+  for (int t = 0; t < n_threads; ++t) workers.emplace_back(work, t);
+  for (auto& w : workers) w.join();
+  return 0;
+}
+
 }  // extern "C"

@@ -18,12 +18,23 @@ _lib = None
 
 
 def load_library() -> Optional[ctypes.CDLL]:
-    """Load (and memoize) the native library; None when not built."""
+    """Load (and memoize) the native library; builds it from source on first
+    use when a toolchain is present (the .so is not committed — it is
+    machine-specific). Returns None when unavailable."""
     global _lib
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
-        return None
+        src_dir = os.path.dirname(_LIB_PATH)
+        if os.path.exists(os.path.join(src_dir, 'Makefile')):
+            import subprocess
+            try:
+                subprocess.run(['make', '-C', src_dir], capture_output=True,
+                               timeout=120, check=True)
+            except Exception:
+                return None
+        if not os.path.exists(_LIB_PATH):
+            return None
     lib = ctypes.CDLL(_LIB_PATH)
 
     lib.ts_wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -66,6 +77,13 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int]
     lib.ts_batch_load.restype = ctypes.c_int
+
+    lib.ts_batch_load_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int16), ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int32),
+        ctypes.c_int]
+    lib.ts_batch_load_i16.restype = ctypes.c_int
 
     _lib = lib
     return _lib
@@ -168,3 +186,27 @@ def batch_load(paths: List[str], target_sr: int = 0, norm_db: float = -23.0,
                       c_outs, c_caps, c_lens, n_threads)
     return [bufs[i][:c_lens[i]].copy() if c_lens[i] >= 0 else None
             for i in range(n)]
+
+
+def batch_load_i16(paths: List[str], pad_len: int, n_threads: int = 0
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parallel decode of many wav files straight into one contiguous
+    (n, pad_len) int16 matrix (zero-padded rows) — the host->device wire
+    format for the on-device resample+mel pipeline. 16-bit PCM mono sources
+    stream from disk into the matrix without a float round-trip.
+
+    Returns (matrix (n, pad_len) int16, lens (n,) int64 with <0 on per-file
+    error, source_rates (n,) int32).
+    """
+    lib = load_library()
+    n = len(paths)
+    out = np.zeros((max(n, 1), pad_len), dtype=np.int16)
+    lens = np.zeros(max(n, 1), dtype=np.int64)
+    srs = np.zeros(max(n, 1), dtype=np.int32)
+    if n == 0:
+        return out[:0], lens[:0], srs[:0]
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.ts_batch_load_i16(c_paths, n, out, pad_len, lens, srs, n_threads)
+    return out, lens, srs

@@ -590,88 +590,139 @@ class Processor:
     def extract_features(in_dir: str, out_dir: str, batch_size: int = 16,
                          pad_seconds: float = 10.0, sample_rate: int = 22050,
                          precision: str = 'bf16x3'):
-        """NEW (TPU path): batched on-device fused log-mel over a corpus.
+        """NEW (TPU path): batched on-device resample + fused log-mel.
 
-        The host pipeline is DOUBLE-BUFFERED against the device: a producer
-        thread decodes+pads batch N+1 (native C++ pthread decoder when built)
-        while the device computes batch N and the main thread writes batch
-        N-1's features — so host decode, TPU compute, and disk writes overlap
-        instead of serializing (the round-1 e2e path was host-bound at
-        ~87 utt/s with the device 70x idle). Writes per-utterance (80, T)
-        .npy features at settings.py defaults — BASELINE config 1 with the
-        DSP on-chip.
+        The host only PARSES wav files (cheap memcpy decode; native C++
+        pthread pipeline when built) — rational resampling to ``sample_rate``
+        runs on the device as one Kaiser-polyphase matmul
+        (`ops.resample.resample_poly`, bit-parity with the host resampler),
+        fused into the same jitted program as the Pallas log-mel. The host
+        pipeline is DOUBLE-BUFFERED against the device: a producer thread
+        decodes batch N+1 while the device computes batch N and the main
+        thread writes batch N-1's features. Round-1 resampled on the 1-core
+        host and was host-bound at ~87 utt/s with the device 70x idle.
+        Writes per-utterance (80, T) .npy features at settings.py defaults —
+        BASELINE config 1 with ALL DSP on-chip.
+
+        Files are grouped by source sample rate (header-only reads) so each
+        group compiles one static-shape device program.
         """
         import queue
         import threading
+        from collections import defaultdict
 
         import jax
         import jax.numpy as jnp
         from pytorch_sound_tpu import native
         from pytorch_sound_tpu.ops.mel import log_mel_spectrogram
         from pytorch_sound_tpu.ops.pallas.logmel import fused_log_mel
+        from pytorch_sound_tpu.ops.resample import (resample_out_len,
+                                                    resample_poly)
 
         wav_list = sorted(glob.glob(os.path.join(in_dir, '**', '*.wav'),
                                     recursive=True))
         os.makedirs(out_dir, exist_ok=True)
-        pad_len = int(pad_seconds * sample_rate)
         hop = settings.HOP_LENGTH
+
+        groups = defaultdict(list)          # src_sr -> paths
+        for path in wav_list:
+            try:
+                groups[wavio.read_wav_info(path)[0]].append(path)
+            except Exception:
+                print('skipping unreadable {}'.format(path))
 
         args = (sample_rate, settings.MEL_SIZE, settings.N_FFT,
                 settings.WIN_LENGTH, hop, settings.MIN_DB, settings.MAX_DB,
                 settings.MEL_MIN, settings.MEL_MAX)
-        if jax.default_backend() == 'tpu':
-            run = jax.jit(lambda x: fused_log_mel(x, *args, precision=precision))
-        else:
-            run = jax.jit(lambda x: log_mel_spectrogram(x, *args))
+        on_tpu = jax.default_backend() == 'tpu'
+        from pytorch_sound_tpu.utils.commons import enable_compilation_cache
+        enable_compilation_cache()   # corpora re-runs skip the jit compiles
 
-        def decode_batch(paths):
-            if native.available():
-                wavs = native.batch_load(paths, target_sr=sample_rate,
-                                         max_seconds=pad_seconds)
-            else:
-                wavs = [wavio.load_wav(p, sr=sample_rate)[0] for p in paths]
-            lens, rows, names = [], [], []
-            for p, w in zip(paths, wavs):
-                if w is None:
-                    continue
-                w = w[:pad_len]
-                lens.append(len(w))
-                rows.append(np.pad(w, (0, pad_len - len(w))))
-                names.append(os.path.splitext(os.path.basename(p))[0])
-            return np.stack(rows) if rows else None, lens, names
-
-        q = queue.Queue(maxsize=2)
-
-        def producer():
-            for i in range(0, len(wav_list), batch_size):
-                q.put(decode_batch(wav_list[i:i + batch_size]))
-            q.put(None)
-
-        threading.Thread(target=producer, daemon=True).start()
-
-        def write_out(mel_dev, lens, names):
-            mel = np.asarray(mel_dev)   # blocks until the device is done
-            for i, (n, name) in enumerate(zip(lens, names)):
-                np.save(os.path.join(out_dir, name + '.mel.npy'),
-                        mel[i, :, :n // hop + 1])
-
-        pending = None
         bar = tqdm(total=len(wav_list), desc='extract_features')
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            batch, lens, names = item
-            if batch is None:
-                continue
-            mel_dev = run(jnp.asarray(batch))    # async dispatch
+        for src_sr, paths in sorted(groups.items()):
+            pad_len = int(pad_seconds * src_sr)
+
+            @jax.jit
+            def run(x, _src_sr=src_sr):
+                if x.dtype == jnp.int16:   # int16 wire: half the H2D bytes
+                    x = x.astype(jnp.float32) * (1.0 / 32768.0)
+                y = resample_poly(x, _src_sr, sample_rate)
+                if on_tpu:
+                    return fused_log_mel(y, *args, precision=precision)
+                return log_mel_spectrogram(y, *args)
+
+            # source-rate samples that cover the mel's centered half-window
+            # (n_fft/2 target samples) — reflected into each row's zero tail
+            # so the last frames see the reference's reflect-pad context
+            tail_ext = -(-(settings.N_FFT // 2) * src_sr // sample_rate) + 4
+
+            def reflect_tail(mat, raw_lens, _pad_len=pad_len):
+                for i, n in enumerate(raw_lens):
+                    n = int(n)
+                    e = min(tail_ext, n - 1, _pad_len - n)
+                    if e > 0:
+                        mat[i, n:n + e] = mat[i, n - e - 1:n - 1][::-1]
+                return mat
+
+            def decode_batch(chunk, _pad_len=pad_len, _src_sr=src_sr):
+                names = [os.path.splitext(os.path.basename(p))[0]
+                         for p in chunk]
+                if native.available():
+                    # contiguous (n, pad_len) int16 rows straight from disk
+                    mat, raw_lens, _ = native.batch_load_i16(chunk, _pad_len)
+                    keep = raw_lens >= 0
+                    mat, raw_lens = mat[keep], raw_lens[keep]
+                    names = [nm for nm, k in zip(names, keep) if k]
+                    lens = [resample_out_len(int(n), _src_sr, sample_rate)
+                            for n in raw_lens]
+                    mat = reflect_tail(mat, raw_lens)
+                    return (mat if len(mat) else None), lens, names
+                wavs = [wavio.load_wav(p)[0] for p in chunk]
+                lens, rows, kept = [], [], []
+                for nm, w in zip(names, wavs):
+                    if w is None:
+                        continue
+                    w = w[:_pad_len]
+                    lens.append(resample_out_len(len(w), _src_sr, sample_rate))
+                    rows.append(np.pad(w, (0, _pad_len - len(w))))
+                    kept.append(nm)
+                if not rows:
+                    return None, lens, kept
+                mat = np.stack(rows)
+                return reflect_tail(mat, [len(w[:_pad_len]) for w in wavs
+                                          if w is not None]), lens, kept
+
+            q = queue.Queue(maxsize=2)
+
+            def producer(_paths=paths, _decode=decode_batch):
+                for i in range(0, len(_paths), batch_size):
+                    q.put(_decode(_paths[i:i + batch_size]))
+                q.put(None)
+
+            threading.Thread(target=producer, daemon=True).start()
+
+            def write_out(mel_dev, lens, names):
+                mel = np.asarray(mel_dev)   # blocks until the device is done
+                for i, (n, name) in enumerate(zip(lens, names)):
+                    np.save(os.path.join(out_dir, name + '.mel.npy'),
+                            mel[i, :, :n // hop + 1])
+
+            pending = None
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                batch, lens, names = item
+                if batch is None:
+                    continue
+                mel_dev = run(jnp.asarray(batch))    # async dispatch
+                if pending is not None:
+                    write_out(*pending)              # overlaps device compute
+                    bar.update(len(pending[2]))
+                pending = (mel_dev, lens, names)
             if pending is not None:
-                write_out(*pending)              # overlaps device compute
+                write_out(*pending)
                 bar.update(len(pending[2]))
-            pending = (mel_dev, lens, names)
-        if pending is not None:
-            write_out(*pending)
-            bar.update(len(pending[2]))
         bar.close()
         print('Finished: {} utterances'.format(len(wav_list)))
 

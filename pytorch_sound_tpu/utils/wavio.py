@@ -130,9 +130,24 @@ def write_wav(path: str, samples: np.ndarray, sr: int, dtype: str = 'float32'):
 
 
 def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase rational resampling (kaiser-windowed sinc)."""
+    """Polyphase rational resampling (Kaiser-windowed sinc).
+
+    Uses the framework's canonical filter design (Kaiser beta=8.6, 24 taps
+    per phase — `csrc/tpusound.cc ts_resample`, bit-matched on device by
+    `ops.resample.resample_poly`) via the native library when built; the
+    scipy `resample_poly` fallback is the same architecture with scipy's
+    default (shorter) prototype, so it differs from the canonical design by
+    in-band ripple only.
+    """
     if orig_sr == target_sr:
         return wav
+    try:
+        from pytorch_sound_tpu import native
+        if native.available():
+            return native.resample(np.asarray(wav, np.float32), int(orig_sr),
+                                   int(target_sr))
+    except Exception:
+        pass
     g = np.gcd(int(orig_sr), int(target_sr))
     return resample_poly(wav, target_sr // g, orig_sr // g).astype(np.float32)
 
