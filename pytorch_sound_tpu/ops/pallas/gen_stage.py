@@ -258,8 +258,10 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
     ``up_params``: {'weight' (C_in, C_out, k_up), 'bias'} of the stage's
     ConvTranspose1d; ``stage``: the three resblock param trees.
     ``precision``: 'highest' (6-pass f32, exact flax parity), 'bf16x3'
-    (3-pass hi/lo bf16 split, ~2x faster matmuls at ~1e-4 waveform error),
-    or 'default' (single bf16 pass, fastest, ~1e-2 error).
+    (3-pass hi/lo bf16 split, ~2x faster matmuls; cascaded over all four
+    stages of the v2 generator this measures ~35 dB SNR vs f32 — mean 3e-4,
+    max ~4e-2 waveform delta — a fast preview mode, not a parity mode),
+    or 'default' (single bf16 pass, fastest).
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
