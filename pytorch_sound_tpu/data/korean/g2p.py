@@ -156,6 +156,45 @@ class KoG2P:
         return graph2prono(text, self.rule_in, self.rule_out)
 
 
+# ---------------------------------------------------------------------------
+# Drop-in aliases for the classic KoG2P script surface
+# (`/root/reference/pytorch_sound/data/korean/g2p.py:14-178`) so code written
+# against the reference imports unchanged. Implemented over this engine.
+# ---------------------------------------------------------------------------
+
+readRules = read_rules
+addPhoneBoundary = add_phone_boundary
+
+
+def writefile(body, fname):
+    """Write an iterable of lines to ``fname`` (classic KoG2P utility)."""
+    with open(fname, 'w') as out:
+        for line in body:
+            out.write('{}\n'.format(line))
+
+
+def isHangul(charint: int) -> bool:
+    """True when the codepoint is a precomposed Hangul syllable."""
+    return _HANGUL_BASE <= charint <= _HANGUL_END
+
+
+def checkCharType(var_list) -> List[int]:
+    """Per-codepoint type tags: 1 = whitespace, 0 = Hangul, -1 = other."""
+    return [1 if v == 32 else (0 if isHangul(v) else -1) for v in var_list]
+
+
+def phone2prono(phones: str, rule_in: List[str], rule_out: List[str],
+                space_chr: str = '#') -> str:
+    """One rewrite pass of the rulebook over a phone string."""
+    return apply_rules(phones, rule_in, rule_out)
+
+
+def addSpace(phones: str) -> str:
+    """Space-separate consecutive 2-letter phones."""
+    pairs = [phones[i:i + 2] for i in range(0, len(phones) - 1, 2)]
+    return ' '.join(pairs)
+
+
 if __name__ == '__main__':
     import sys
     print(KoG2P().g2p(sys.argv[1]))

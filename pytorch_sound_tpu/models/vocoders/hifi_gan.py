@@ -266,6 +266,47 @@ def fold_weight_norm_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return fold(params)
 
 
+def apply_weight_norm(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Split every plain 'weight' into a torch-style (g, v) weight-norm pair —
+    the inverse of :func:`fold_weight_norm_params` (functional counterpart of
+    the reference's ``apply_weight_norm``, `hifi_gan.py:24-27`). g holds the
+    per-out-channel norm, v the direction (norm over all dims but 0)."""
+    def split(node):
+        if isinstance(node, dict):
+            if 'weight' in node and 'g' not in node:
+                w = node['weight']
+                out = {k: split(val) for k, val in node.items()
+                       if k != 'weight'}
+                if getattr(w, 'ndim', 0) >= 2:
+                    axes = tuple(range(1, w.ndim))
+                    g = jnp.sqrt(jnp.sum(w * w, axis=axes, keepdims=True))
+                    out['g'] = g
+                    out['v'] = w
+                else:
+                    out['weight'] = w
+                return out
+            return {k: split(v) for k, v in node.items()}
+        return node
+    return split(params)
+
+
+def init_weights(key, params: Dict[str, Any], mean: float = 0.0,
+                 std: float = 0.01) -> Dict[str, Any]:
+    """Re-draw every conv kernel ('weight' or 'v' leaf) from N(mean, std) —
+    the reference's ``init_weights`` module hook (`hifi_gan.py:17-20`) as a
+    pure param-tree transform."""
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for k, (path, leaf) in zip(keys, leaves):
+        name = str(path[-1]) if path else ''
+        if any(t in name for t in ('weight', "'v'")) and \
+                getattr(leaf, 'ndim', 0) >= 2:
+            leaf = mean + std * jax.random.normal(k, leaf.shape, leaf.dtype)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 #
 # Architectures (quality/memory claims from the HiFi-GAN paper — see
 # reference `hifi_gan.py:150-208`): v1 ~14M params / MOS 4.3; v2 ~0.9M params

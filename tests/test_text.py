@@ -117,3 +117,17 @@ def test_kophn_dict_matches_phoneme_inventory():
     path = os.path.join(os.path.dirname(__file__), '..', 'assets', 'kophn_dict.txt')
     phones = open(path).read().split()
     assert phones == sorted(p for p in PHONEMES if p != '_')
+
+
+def test_kog2p_classic_aliases():
+    """The classic KoG2P script surface (camelCase) is importable and works."""
+    from pytorch_sound_tpu.data.korean.g2p import (
+        DEFAULT_RULEBOOK_PATH, addPhoneBoundary, addSpace, checkCharType,
+        isHangul, phone2prono, readRules)
+    ri, ro = readRules(DEFAULT_RULEBOOK_PATH)
+    assert len(ri) == len(ro) > 50
+    assert isHangul(ord('학')) and not isHangul(ord('A'))
+    assert checkCharType([ord('학'), 32, ord('A')]) == [0, 1, -1]
+    assert addSpace('p0aa') == 'p0 aa'
+    assert addPhoneBoundary('p0aa').count(',') == 2
+    assert isinstance(phone2prono('p0aa,', ri, ro), str)

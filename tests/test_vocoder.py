@@ -158,3 +158,40 @@ def test_encode_decode_cycle_consistency():
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.85, corr
     assert float(np.median(np.abs(a - b))) < 2.0
+
+
+def test_apply_weight_norm_roundtrip():
+    """apply_weight_norm is the exact inverse of fold_weight_norm_params."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_sound_tpu.models import build_model
+    import pytorch_sound_tpu.models.vocoders.hifi_gan as HG
+
+    gen = build_model('hifi_gan_v3',
+                      extra_kwargs={'upsample_initial_channel': 32})
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 16)))['params']
+    folded = HG.fold_weight_norm_params(params)
+    refolded = HG.fold_weight_norm_params(HG.apply_weight_norm(folded))
+    err = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), folded, refolded)))
+    assert err < 1e-6
+
+
+def test_init_weights_redraws_kernels():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pytorch_sound_tpu.models import build_model
+    import pytorch_sound_tpu.models.vocoders.hifi_gan as HG
+
+    gen = build_model('hifi_gan_v3',
+                      extra_kwargs={'upsample_initial_channel': 32})
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 16)))['params']
+    out = HG.init_weights(jax.random.PRNGKey(1), params, std=0.01)
+    kernels = [leaf for path, leaf in
+               jax.tree_util.tree_flatten_with_path(out)[0]
+               if getattr(leaf, 'ndim', 0) >= 2 and "'g'" not in str(path[-1])]
+    flat = np.concatenate([np.asarray(k).ravel() for k in kernels])
+    assert abs(flat.std() - 0.01) < 2e-3          # redrawn at the target std
+    assert jax.tree_util.tree_structure(out) == \
+        jax.tree_util.tree_structure(params)
