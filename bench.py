@@ -185,6 +185,41 @@ def bench_preprocess(batch: int = 16, seconds: float = 4.0, fused: bool = True,
     return batch / dt
 
 
+def bench_preprocess_deviceloop(batch: int = 16, seconds: float = 4.0,
+                                fused: bool = True,
+                                precision: str = 'bf16x3'):
+    """Same computation as :func:`bench_preprocess`, timed with the on-device
+    fori-loop (one dispatch total). The tunnel's per-dispatch overhead varies
+    run-to-run by several ms and poisons chained *ratios*; this variant is
+    immune to it and is the kernel-vs-kernel truth."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_sound_tpu import settings
+    from pytorch_sound_tpu.ops import mel as mel_ops
+    from pytorch_sound_tpu.ops.pallas.logmel import fused_log_mel
+
+    n = int(settings.SAMPLE_RATE * seconds)
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32) * 0.1)
+
+    args = (settings.SAMPLE_RATE, settings.MEL_SIZE, settings.N_FFT,
+            settings.WIN_LENGTH, settings.HOP_LENGTH,
+            settings.MIN_DB, settings.MAX_DB, settings.MEL_MIN, settings.MEL_MAX)
+    if fused and jax.default_backend() == 'tpu':
+        fn = lambda w: fused_log_mel(w, *args, precision=precision)  # noqa: E731
+    else:
+        fn = lambda w: mel_ops.log_mel_spectrogram(w, *args)  # noqa: E731
+
+    def step(carry):
+        w, _ = carry
+        mel = fn(w)
+        m = mel.mean()
+        return jnp.roll(w, 1, axis=-1) * (1.0 + 1e-3 * jnp.tanh(m)), m
+
+    dt = _timeit_device_loop(step, wav, iters=20)
+    return batch / dt
+
+
 def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
                          src_sr: int = 48000, batch: int = 64):
     """Full BASELINE-config-1 path: wav decode (host parse only) ->
@@ -463,6 +498,15 @@ def main():
         details['preprocess_fused_vs_xla_ratio'] = (
             details['preprocess_utterances_per_sec']
             / details['preprocess_utterances_per_sec_xla'])
+        # dispatch-free (device-loop) variants: immune to the tunnel's
+        # variable per-dispatch overhead - the authoritative ratio
+        dl_fused = bench_preprocess_deviceloop(fused=True)
+        dl_f32 = bench_preprocess_deviceloop(fused=True, precision='highest')
+        dl_xla = bench_preprocess_deviceloop(fused=False)
+        details['preprocess_deviceloop'] = {
+            'fused_bf16x3': dl_fused, 'fused_f32': dl_f32, 'xla': dl_xla,
+            'fused_vs_xla_ratio': dl_fused / dl_xla,
+            'fused_f32_vs_xla_ratio': dl_f32 / dl_xla}
         details['preprocess_e2e_utterances_per_sec'] = bench_preprocess_e2e()
     except Exception as e:
         details['preprocess_error'] = repr(e)
