@@ -179,3 +179,14 @@ def test_maestro_main_entrypoint(maestro_meta_dir, tmp_path):
                 fix_len=32768, max_step=2, valid_max_step=1, save_interval=2,
                 log_interval=2, arch='frame_pitch_small', use_mesh=False)
     assert np.isfinite(best)
+
+
+def test_maestro_main_entrypoint_on_mesh(maestro_meta_dir, tmp_path):
+    """BASELINE config 5: Maestro training data-parallel over the (virtual)
+    8-device mesh, with the per-step on-device STFT inside the sharded
+    program (batch must divide the mesh: 8)."""
+    from pytorch_sound_tpu.examples.maestro import main
+    best = main(maestro_meta_dir, str(tmp_path), batch_size=8, num_workers=0,
+                fix_len=32768, max_step=2, valid_max_step=1, save_interval=2,
+                log_interval=2, arch='frame_pitch_small', use_mesh=True)
+    assert np.isfinite(best)
