@@ -49,6 +49,7 @@ class WNConv1d(nn.Module):
     padding: int = 0
     groups: int = 1
     use_weight_norm: bool = True
+    precision: str = 'auto'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -65,7 +66,7 @@ class WNConv1d(nn.Module):
         bias = self.param('bias', nn.initializers.zeros, (self.out_channels,))
         return conv1d(x, weight, bias, stride=self.stride,
                       padding=self.padding, dilation=self.dilation,
-                      groups=self.groups)
+                      groups=self.groups, precision=self.precision)
 
 
 class WNConvTranspose1d(nn.Module):
