@@ -99,6 +99,11 @@ class HiFiGANTrainer(Trainer):
     # -- losses ---------------------------------------------------------------
 
     def _mel(self, wav: jnp.ndarray) -> jnp.ndarray:
+        # NOTE: ops.pallas.logmel.fused_hifigan_mel_trainable (Pallas forward,
+        # exact composite VJP) works compiled standalone, but embedding the
+        # Pallas kernel inside this trainer's full two-phase GAN program
+        # reproducibly OOM-kills the remote XLA compile helper on the axon
+        # build — so the GAN step keeps the XLA composite mel.
         return mel_ops.hifigan_mel_spectrogram(wav, **MEL_KW)
 
     def _disc_loss(self, disc_params, real, fake):

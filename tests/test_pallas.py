@@ -236,3 +236,26 @@ def test_fused_full_stage_any_batch():
         ref = np.asarray(gen.apply(params, mel))
         out = np.asarray(hg.generator_apply_fused(gen, params, mel, True))
         np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_fused_hifigan_mel_trainable_grads():
+    """custom_vjp wrapper: Pallas forward (interpret on CPU), exact composite
+    backward — gradient must match XLA autodiff of the composite."""
+    from pytorch_sound_tpu.ops.pallas.logmel import fused_hifigan_mel_trainable
+    rng = np.random.default_rng(12)
+    wav = jnp.asarray(rng.standard_normal((2, 9000)).astype(np.float32) * 0.2)
+
+    def loss_fused(w):
+        return jnp.sum(jnp.sin(fused_hifigan_mel_trainable(w, 'highest')))
+
+    def loss_ref(w):
+        return jnp.sum(jnp.sin(mel_ops.hifigan_mel_spectrogram(w)))
+
+    out = fused_hifigan_mel_trainable(wav, 'highest')
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(mel_ops.hifigan_mel_spectrogram(wav)),
+                               atol=1e-4)
+    g_fused = jax.grad(loss_fused)(wav)
+    g_ref = jax.grad(loss_ref)(wav)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=1e-4)
