@@ -224,3 +224,24 @@ def test_trainer_remat(tmp_path):
     a = jax.tree_util.tree_leaves(t1.params)[0]
     b = jax.tree_util.tree_leaves(t2.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_prefetch_straggler_batch_replicates():
+    """Batches whose leading dim doesn't divide the mesh are placed
+    replicated (not batch-sharded) instead of crashing."""
+    import jax
+    import numpy as np
+    from pytorch_sound_tpu.parallel import batch_sharding, make_mesh
+    from pytorch_sound_tpu.parallel.prefetch import prefetch_to_device
+
+    mesh = make_mesh()          # 8 virtual CPU devices, 'data' axis
+    sharding = batch_sharding(mesh)
+    batches = [[np.ones((8, 16), np.float32)],     # divisible -> sharded
+               [np.ones((3, 16), np.float32)]]     # straggler -> replicated
+    out = list(prefetch_to_device(iter(batches), size=2, sharding=sharding))
+    assert len(out) == 2
+    full, strag = out[0][0], out[1][0]
+    assert len(full.sharding.device_set) == 8
+    assert not full.sharding.is_fully_replicated
+    assert strag.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(strag), batches[1][0])
