@@ -66,3 +66,23 @@ def test_logger_no_duplicate_handlers():
     a = get_logger('dup_test')
     b = get_logger('dup_test')
     assert a is b and len(a.handlers) == 1
+
+
+def test_write_wav_multichannel_roundtrip():
+    """(channels, T) input must produce a stereo header + interleaved data
+    that reads back channel-correct (the round-1 advisory fixed a mono-header
+    bug here)."""
+    import os
+    import tempfile
+    import numpy as np
+    from pytorch_sound_tpu.utils.wavio import read_wav, read_wav_info, write_wav
+
+    rng = np.random.default_rng(0)
+    stereo = (0.3 * rng.standard_normal((2, 500))).astype(np.float32)
+    p = os.path.join(tempfile.mkdtemp(), 's.wav')
+    write_wav(p, stereo, 22050)
+    sr, frames, channels, bits = read_wav_info(p)
+    assert (sr, frames, channels) == (22050, 500, 2)
+    back, sr2 = read_wav(p)
+    assert back.shape == (2, 500)
+    np.testing.assert_allclose(back, stereo, atol=1e-6)

@@ -115,3 +115,17 @@ def test_native_batch_load_i16_roundtrip():
         got = mat[i, :lens[i]].astype(np.float32) / 32768.0
         np.testing.assert_allclose(got, w, atol=1e-6)   # exact passthrough
         assert (mat[i, lens[i]:] == 0).all()
+
+
+@pytest.mark.parametrize('orig_sr,target_sr', [
+    (8000, 22050),     # large up factor (441/160)
+    (48000, 16000),    # exact 1/3
+    (22050, 48000),    # large up (320/147)
+])
+def test_resample_extreme_ratios(orig_sr, target_sr):
+    rng = np.random.default_rng(orig_sr)
+    x = (0.3 * rng.standard_normal(3000)).astype(np.float32)
+    ref = _ref_resample(x, orig_sr, target_sr)
+    got = np.asarray(resample_poly(jnp.asarray(x), orig_sr, target_sr))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-6)
