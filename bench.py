@@ -285,9 +285,11 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
         q = queue.Queue(maxsize=2)
 
         def producer():
-            for i in range(0, n_files, batch):
-                q.put(decode(paths[i:i + batch]))
-            q.put(None)
+            try:
+                for i in range(0, n_files, batch):
+                    q.put(decode(paths[i:i + batch]))
+            finally:
+                q.put(None)    # always unblock the consumer
 
         threading.Thread(target=producer, daemon=True).start()
         pending = None

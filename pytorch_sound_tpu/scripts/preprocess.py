@@ -694,10 +694,15 @@ class Processor:
 
             q = queue.Queue(maxsize=2)
 
-            def producer(_paths=paths, _decode=decode_batch):
-                for i in range(0, len(_paths), batch_size):
-                    q.put(_decode(_paths[i:i + batch_size]))
-                q.put(None)
+            def producer(_paths=paths, _decode=decode_batch, _q=q):
+                try:
+                    for i in range(0, len(_paths), batch_size):
+                        try:
+                            _q.put(_decode(_paths[i:i + batch_size]))
+                        except Exception as e:   # skip a bad batch, keep going
+                            print('decode batch failed: {!r}'.format(e))
+                finally:
+                    _q.put(None)    # ALWAYS unblock the consumer
 
             threading.Thread(target=producer, daemon=True).start()
 
