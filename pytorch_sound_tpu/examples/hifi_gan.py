@@ -40,11 +40,21 @@ class HiFiGANTrainer(Trainer):
     """
 
     def __init__(self, generator, mpd, msd, gen_optimizer, disc_optimizer,
-                 *args, generator_warm_start: str = None, **kwargs):
+                 *args, generator_warm_start: str = None,
+                 split_step: bool = False, **kwargs):
         """``generator_warm_start``: path to a folded generator msgpack (e.g.
         the converted bundled checkpoint) to fine-tune from. Note the bundled
         checkpoints are weight-norm-folded, so warm starts require building
-        the generator with use_weight_norm=False."""
+        the generator with use_weight_norm=False.
+
+        ``split_step``: run the adversarial update as TWO jitted programs
+        (disc phase, then gen phase) instead of one fused program. ~10%
+        slower steady-state through the tunnel (one extra dispatch +
+        boundary), but each program is half the size: compiles are lighter
+        and the gen phase can embed the Pallas fused mel (the fused
+        single-program step + Pallas mel OOM-kills the remote compile
+        helper). Default False = the fastest measured configuration."""
+        self.split_step = split_step
         self.generator = generator
         self.mpd = mpd
         self.msd = msd
@@ -99,11 +109,14 @@ class HiFiGANTrainer(Trainer):
     # -- losses ---------------------------------------------------------------
 
     def _mel(self, wav: jnp.ndarray) -> jnp.ndarray:
-        # NOTE: ops.pallas.logmel.fused_hifigan_mel_trainable (Pallas forward,
-        # exact composite VJP) works compiled standalone, but embedding the
-        # Pallas kernel inside this trainer's full two-phase GAN program
-        # reproducibly OOM-kills the remote XLA compile helper on the axon
-        # build — so the GAN step keeps the XLA composite mel.
+        if self.split_step and jax.default_backend() == 'tpu':
+            # Pallas fused forward, exact composite VJP. Viable only in the
+            # split step: each program stays small enough for the remote
+            # compiler (the fused single-program step + this kernel
+            # OOM-killed the compile helper).
+            from pytorch_sound_tpu.ops.pallas.logmel import (
+                fused_hifigan_mel_trainable)
+            return fused_hifigan_mel_trainable(wav)
         return mel_ops.hifigan_mel_spectrogram(wav, **MEL_KW)
 
     def _disc_loss(self, disc_params, real, fake):
@@ -131,7 +144,97 @@ class HiFiGANTrainer(Trainer):
         loss = adv + LAMBDA_FM * fm + LAMBDA_MEL * mel_l1
         return loss, (adv, fm, mel_l1, fake)
 
-    # -- fused GAN step -------------------------------------------------------
+    # -- split two-jit GAN step ----------------------------------------------
+    #
+    # The adversarial update runs as TWO jitted programs (discriminator phase,
+    # then generator phase against the updated critics) instead of one fused
+    # program. Semantics match `_train_step` below except the NaN guard is
+    # per-phase (each phase reverts its own params on a non-finite loss)
+    # rather than all-or-nothing. Why split: the fused 85M-param program costs
+    # 15-20 min to compile through the remote-compile tunnel and OOM-kills the
+    # compile helper if a Pallas kernel is embedded; two half-size programs
+    # compile faster and leave headroom, at the cost of one extra dispatch
+    # (~1 ms against a ~150 ms step).
+
+    def _get_train_step(self):
+        if not self.split_step:
+            return super()._get_train_step()    # fused single-jit (fastest)
+        if self._compiled_train_step is None:
+            import functools
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def disc_step(disc_params, disc_opt, gen_params, wav):
+                real = wav[:, None, :]
+                mel_real = self._mel(wav)
+                fake = jax.lax.stop_gradient(
+                    self.generator.apply(gen_params, mel_real))
+
+                def d_loss_fn(dp):
+                    return self._disc_loss(dp, real, fake)
+
+                d_loss, d_grads = jax.value_and_grad(d_loss_fn)(disc_params)
+                new_disc, new_dopt = {}, {}
+                for key in ('mpd', 'msd'):
+                    updates, new_dopt[key] = self.disc_optimizer.update(
+                        d_grads[key], disc_opt[key], disc_params[key])
+                    new_disc[key] = optax.apply_updates(disc_params[key], updates)
+                ok = jnp.isfinite(d_loss)
+                sel = lambda new, old: jax.tree_util.tree_map(   # noqa: E731
+                    lambda a, b: jnp.where(ok, a, b)
+                    if isinstance(a, jnp.ndarray) else a, new, old)
+                return (sel(new_disc, disc_params), sel(new_dopt, disc_opt),
+                        d_loss, mel_real)
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1),
+                               static_argnames=('is_logging',))
+            def gen_step(gen_params, gen_opt, disc_params, wav, mel_real,
+                         d_loss, is_logging=False):
+                real = wav[:, None, :]
+
+                def g_loss_fn(gp):
+                    return self._gen_loss(gp, disc_params, real, mel_real)
+
+                (g_loss, (adv, fm, mel_l1, fake)), g_grads = \
+                    jax.value_and_grad(g_loss_fn, has_aux=True)(gen_params)
+                g_grads = self._clip_grads(g_grads)
+                updates, new_gopt = self.gen_optimizer.update(
+                    g_grads, gen_opt, gen_params)
+                new_gen = optax.apply_updates(gen_params, updates)
+                ok = jnp.isfinite(g_loss)
+                sel = lambda new, old: jax.tree_util.tree_map(   # noqa: E731
+                    lambda a, b: jnp.where(ok, a, b)
+                    if isinstance(a, jnp.ndarray) else a, new, old)
+                meta = {}
+                if is_logging:
+                    meta = {
+                        'loss': (g_loss, LogType.SCALAR),
+                        'disc_loss': (d_loss, LogType.SCALAR),
+                        'adv': (adv, LogType.SCALAR),
+                        'feature_matching': (fm, LogType.SCALAR),
+                        'mel_l1': (mel_l1, LogType.SCALAR),
+                        'fake_audio': (fake[0, 0], LogType.AUDIO),
+                    }
+                from pytorch_sound_tpu.trainer import _wrap_meta
+                return (sel(new_gen, gen_params), sel(new_gopt, gen_opt),
+                        g_loss, _wrap_meta(meta))
+
+            def step(params, opt_state, batch, is_logging=False):
+                wav = batch[0]
+                disc_params = {'mpd': params['mpd'], 'msd': params['msd']}
+                disc_opt = {'mpd': opt_state['mpd'], 'msd': opt_state['msd']}
+                new_disc, new_dopt, d_loss, mel_real = disc_step(
+                    disc_params, disc_opt, params['gen'], wav)
+                new_gen, new_gopt, g_loss, meta = gen_step(
+                    params['gen'], opt_state['gen'], new_disc, wav, mel_real,
+                    d_loss, is_logging=is_logging)
+                return ({'gen': new_gen, **new_disc},
+                        {'gen': new_gopt, **new_dopt}, g_loss, meta)
+
+            self._compiled_train_step = step
+        return self._compiled_train_step
+
+    # -- fused GAN step (reference implementation; superseded by the split
+    #    two-jit step above, kept for documentation/fallback) ----------------
 
     def _train_step(self, params, opt_state, batch, is_logging: bool):
         real = batch[0][:, None, :]                       # (N, 1, T)

@@ -105,3 +105,37 @@ def test_generator_warm_start(tmp_path):
     got = serialization.to_state_dict(t.params['gen'])
     np.testing.assert_allclose(
         got['params']['conv_pre']['weight'], ref['params']['conv_pre']['weight'])
+
+
+def test_hifigan_split_step_matches_fused(tmp_path):
+    """The split two-jit GAN step produces the same first-step update as the
+    fused single-jit step (identical math; the NaN guard granularity only
+    differs on non-finite losses)."""
+    rng = np.random.default_rng(11)
+    batch = [rng.standard_normal((2, 2048)).astype(np.float32) * 0.2]
+
+    def make(split):
+        gen = build_model('hifi_gan_v3',
+                          extra_kwargs={'upsample_initial_channel': 32})
+        return HiFiGANTrainer(
+            gen, build_model('hifi_gan_mpd_small'),
+            build_model('hifi_gan_msd_small'),
+            optax.adamw(2e-4), optax.adamw(2e-4), None, None,
+            max_step=1, valid_max_step=1, save_interval=10 ** 9,
+            log_interval=10 ** 9, save_dir=str(tmp_path), save_prefix='s%d' % split,
+            seed=13, split_step=bool(split))
+
+    outs = []
+    for split in (0, 1):
+        t = make(split)
+        t._ensure_initialized([jnp.asarray(batch[0])])
+        p, o, loss, meta = t._get_train_step()(
+            t.params, t.opt_state, [jnp.asarray(batch[0])], is_logging=True)
+        outs.append((p, float(loss), meta))
+    p0, l0, m0 = outs[0]
+    p1, l1, m1 = outs[1]
+    assert abs(l0 - l1) < 1e-4
+    err = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p0, p1)))
+    assert err < 1e-5
+    assert set(m1.keys()) == set(m0.keys())   # same logging channels
