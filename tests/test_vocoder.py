@@ -195,3 +195,20 @@ def test_init_weights_redraws_kernels():
     assert abs(flat.std() - 0.01) < 2e-3          # redrawn at the target std
     assert jax.tree_util.tree_structure(out) == \
         jax.tree_util.tree_structure(params)
+
+
+def test_streaming_decode_exact_with_zero_pad_edges():
+    """With overlap >= the generator's receptive field (~25 frames) and
+    zero-padded sequence extremes, streaming matches full decode EXACTLY
+    except the outermost ~9 frames at each end (boundary-bias effect of
+    chunked CNN inference — see decode_streaming's docstring)."""
+    iface = InterfaceHifiGAN('hifi_gan_v2')
+    rng = np.random.default_rng(17)
+    mel = (rng.standard_normal((1, 80, 300)).astype(np.float32) * 2 - 4)
+    full = np.asarray(iface.decode(mel))
+    streamed = np.asarray(iface.decode_streaming(mel, chunk_frames=128,
+                                                 overlap_frames=32))
+    assert streamed.shape == full.shape
+    err = np.abs(streamed - full)
+    # everything but the outer 10 frames each side: exact (incl. all seams)
+    assert float(err[..., 10 * 256:-10 * 256].max()) < 1e-6
