@@ -337,8 +337,11 @@ int ts_batch_load(const char** paths, int n_files, int target_sr,
 // int16 matrix, zero-padded — the host->device payload for the on-device
 // resample+mel pipeline (half the bytes of f32, and the device converts with
 // one multiply). 16-bit PCM mono sources stream straight from the file into
-// the row (no float round-trip); everything else goes through the f32
-// decoder and quantizes with clamping. lens[i] = true sample count
+// the row (no float round-trip); everything else — including rare 16-bit
+// non-PCM codecs (the fast path checks the extensible-resolved wFormatTag
+// and requires PCM) — goes through the f32 decoder and quantizes with
+// clamping, so f32/24-bit sources are reduced to int16 on this wire (see
+// native.batch_load_i16's docstring). lens[i] = true sample count
 // (<0 on error); srs[i] = source sample rate.
 // ---------------------------------------------------------------------------
 
@@ -361,19 +364,33 @@ int ts_batch_load_i16(const char** paths, int n_files, int16_t* out,
       int64_t n = frames < pad_len ? frames : pad_len;
       int64_t got = -1;
       if (bits == 16 && ch == 1) {
-        // PCM16 mono: locate the data chunk and fread into the row directly
+        // PCM16 mono: locate the data chunk and fread into the row directly.
+        // The fmt chunk is re-read on this walk so the memcpy only fires for
+        // true PCM (wFormatTag 1, extensible-resolved) — a 16-bit compressed
+        // codec falls through to the general decoder instead of being
+        // streamed as raw PCM garbage.
         FILE* f = fopen(paths[i], "rb");
         if (f) {
           char riff[12];
           char id[4];
           uint32_t size;
+          int fmt_tag = 0;
           if (fread(riff, 1, 12, f) == 12) {
             while (read_chunk_header(f, id, &size) == 0) {
-              if (!memcmp(id, "data", 4)) {
-                got = (int64_t)fread(row, 2, (size_t)n, f);
+              if (!memcmp(id, "fmt ", 4)) {
+                std::vector<uint8_t> fmt(size);
+                if (fread(fmt.data(), 1, size, f) != size) break;
+                fmt_tag = fmt[0] | (fmt[1] << 8);
+                if (fmt_tag == 0xFFFE && size >= 40)  // WAVE_FORMAT_EXTENSIBLE
+                  fmt_tag = fmt[24] | (fmt[25] << 8);
+                if (size & 1) fseek(f, 1, SEEK_CUR);
+              } else if (!memcmp(id, "data", 4)) {
+                if (fmt_tag == 1)  // PCM only
+                  got = (int64_t)fread(row, 2, (size_t)n, f);
                 break;
+              } else {
+                fseek(f, size + (size & 1), SEEK_CUR);
               }
-              fseek(f, size + (size & 1), SEEK_CUR);
             }
           }
           fclose(f);

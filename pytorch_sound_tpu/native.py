@@ -193,7 +193,11 @@ def batch_load_i16(paths: List[str], pad_len: int, n_threads: int = 0
     """Parallel decode of many wav files straight into one contiguous
     (n, pad_len) int16 matrix (zero-padded rows) — the host->device wire
     format for the on-device resample+mel pipeline. 16-bit PCM mono sources
-    stream from disk into the matrix without a float round-trip.
+    stream from disk into the matrix without a float round-trip; all other
+    formats (f32/f64, 24/32-bit PCM, multichannel) decode through the f32
+    path and are quantized to int16 with clamping — a ~1.5e-5 absolute wire
+    error, below the mel pipeline's bf16x3 numerics. Use ``batch_load``
+    (f32 outputs) when full source depth matters.
 
     Returns (matrix (n, pad_len) int16, lens (n,) int64 with <0 on per-file
     error, source_rates (n,) int32).

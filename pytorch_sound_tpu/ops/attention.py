@@ -26,14 +26,20 @@ def blockwise_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                         mask: Optional[jnp.ndarray] = None,
                         block_size: int = 256,
                         backend: str = 'auto',
-                        precision: str = 'bf16x3') -> jnp.ndarray:
+                        precision: str = 'bf16x3',
+                        autotune_block: bool = True) -> jnp.ndarray:
     """Softmax attention over key blocks with online renormalization.
 
     :param q: queries (N, H, Tq, D)
     :param k: keys    (N, H, Tk, D)
     :param v: values  (N, H, Tk, D)
     :param mask: optional (N, Tk) boolean, True = key masked out
-    :param block_size: key-block length (rounded up by padding)
+    :param block_size: key-block length (rounded up by padding). NOTE: with
+        ``autotune_block=True`` (default) the pallas backend widens KV blocks
+        to >= 512 (measured much faster: fewer online-softmax rescale rounds,
+        full MXU tiles) — short sequences are padded up to that width. Pass
+        ``autotune_block=False`` to honor ``block_size`` exactly (e.g. for
+        VMEM headroom on very wide heads).
     :param backend: 'pallas' (compiled flash kernel), 'lax' (scan), or 'auto'
         (pallas on TPU — measured 1.65x faster than the scan at T=4096)
     :param precision: contraction precision — 'bf16x3' (default; pallas
@@ -42,20 +48,24 @@ def blockwise_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         'highest' — while beating dense end-to-end), 'highest' (6-pass f32),
         or 'default' (single-pass bf16 MXU, fastest, ~3e-3 error). The lax
         backend treats 'bf16x3' as f32-HIGHEST.
+    :param autotune_block: let the pallas backend pick measured-fast tile
+        sizes from ``block_size`` (see above). The lax backend always honors
+        ``block_size`` exactly.
     :return: (N, H, Tq, D) attention output
     """
     if backend == 'auto':
         backend = 'pallas' if jax.default_backend() == 'tpu' else 'lax'
     if backend == 'pallas':
         # trainable variant: Pallas forward AND backward kernels (custom_vjp).
-        # KV blocks >= 512 measured much faster than 128 (fewer online-softmax
-        # rescale rounds, wider MXU tiles) — round the user block size up.
         from pytorch_sound_tpu.ops.pallas.flash_attention import (
             flash_attention_trainable)
         key_valid = None if mask is None else (~mask).astype(jnp.float32)
+        if autotune_block:
+            block_q, block_kv = min(block_size, 128), max(block_size, 512)
+        else:
+            block_q = block_kv = block_size
         return flash_attention_trainable(q, k, v, key_valid,
-                                         min(block_size, 128),
-                                         max(block_size, 512),
+                                         block_q, block_kv,
                                          None, precision)
     n, h, tq, d = q.shape
     tk = k.shape[2]

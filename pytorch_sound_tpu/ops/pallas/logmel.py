@@ -191,7 +191,12 @@ def fused_log_mel(wav: jnp.ndarray, sample_rate: int = 22050, mel_size: int = 80
         wav = jnp.pad(wav, [(0, 0), (pad, pad)], mode=pad_mode)
     n_frames = 1 + (wav.shape[1] - n_fft) // hop_length
     # full-MXU-height tiles by default; shrink for short inputs so we don't
-    # burn a mostly-padding program
+    # burn a mostly-padding program. The span DMA promises
+    # pl.multiple_of(base_row, 8), so explicit tiles must keep rows 8-aligned.
+    if tile_frames is not None:
+        assert tile_frames >= 8 and tile_frames % 8 == 0, \
+            'tile_frames must be a multiple of 8 (sublane alignment), got %r' \
+            % (tile_frames,)
     tile = tile_frames or min(TILE_FRAMES, max(8, _round_up(n_frames, 8)))
     n_tiles = max(1, -(-n_frames // tile))
     # span in hop-rows, rounded to the 2D sublane tiling (8)

@@ -119,3 +119,49 @@ def test_load_wav_uses_native_consistently(wav_file):
     via_loader, sr = wavio.load_wav(path, sr=16000)
     assert sr == 16000
     assert abs(len(via_loader) - 16000 * 2) <= 2
+
+
+def _write_wav16(path, pcm16, sr, fmt_tag=1, extensible=False):
+    """Hand-rolled 16-bit mono RIFF writer with a controllable wFormatTag."""
+    import struct
+    data = pcm16.astype('<i2').tobytes()
+    if extensible:
+        # WAVE_FORMAT_EXTENSIBLE: 40-byte fmt, real tag in the GUID prefix
+        fmt = struct.pack('<HHIIHHHHI', 0xFFFE, 1, sr, sr * 2, 2, 16, 22, 16,
+                          fmt_tag) + b'\x00\x00\x00\x00\x10\x00\x80\x00' \
+              b'\x00\xAA\x00\x38\x9B\x71'
+    else:
+        fmt = struct.pack('<HHIIHH', fmt_tag, 1, sr, sr * 2, 2, 16)
+    with open(path, 'wb') as w:
+        w.write(b'RIFF' + struct.pack('<I', 20 + len(fmt) + len(data))
+                + b'WAVE')
+        w.write(b'fmt ' + struct.pack('<I', len(fmt)) + fmt)
+        w.write(b'data' + struct.pack('<I', len(data)) + data)
+
+
+def test_batch_load_i16_fast_path_checks_format_tag(tmp_path):
+    """The PCM16-mono memcpy fast path must fire only for true PCM:
+    a plain PCM file and an extensible-PCM file stream bit-exactly, while a
+    16-bit non-PCM tag falls through to the general decoder (which reads the
+    payload by its PCM layout — same bytes here — rather than blind memcpy).
+    """
+    if not native.available():
+        pytest.skip('native library unavailable')
+    rng = np.random.default_rng(7)
+    pcm = (rng.integers(-20000, 20000, 1000)).astype(np.int16)
+    plain = os.path.join(tmp_path, 'plain.wav')
+    ext = os.path.join(tmp_path, 'ext.wav')
+    nonpcm = os.path.join(tmp_path, 'nonpcm.wav')
+    _write_wav16(plain, pcm, 16000)
+    _write_wav16(ext, pcm, 16000, extensible=True)
+    _write_wav16(nonpcm, pcm, 16000, fmt_tag=2)    # claims ADPCM
+
+    mat, lens, srs = native.batch_load_i16([plain, ext, nonpcm], 1200)
+    assert list(srs) == [16000] * 3
+    assert list(lens) == [1000] * 3
+    np.testing.assert_array_equal(mat[0, :1000], pcm)
+    np.testing.assert_array_equal(mat[1, :1000], pcm)   # extensible-PCM fast
+    # the non-PCM file went through the general decoder (float roundtrip of
+    # int16 is exact) — decoded-as-PCM bytes equal the original payload here
+    np.testing.assert_array_equal(mat[2, :1000], pcm)
+    assert not mat[:, 1000:].any()
