@@ -25,24 +25,38 @@ NEG = -1e30
 
 
 class _Attention(nn.Module):
-    """Generic multi-head attention on (N, T, C) with causal / key masking."""
+    """Generic multi-head attention on (N, T, C) with causal / key masking.
+
+    Besides the full (teacher-forced) ``__call__``, exposes the two pieces
+    incremental decoding needs: :meth:`kv` (project keys/values once, e.g.
+    the cross-attention memory or the newest decoder frame) and
+    :meth:`attend_step` (one query frame against a cached K/V buffer) — the
+    O(T)-per-frame path used by :func:`synthesize`.
+    """
 
     hidden_dim: int
     heads: int
     causal: bool = False
 
-    @nn.compact
+    def setup(self):
+        c = self.hidden_dim
+        self.q = nn.Dense(c, use_bias=False)
+        self.k = nn.Dense(c, use_bias=False)
+        self.v = nn.Dense(c, use_bias=False)
+        self.out = nn.Dense(c, use_bias=False)
+
+    def _heads(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, t, c = x.shape
+        return x.reshape(n, t, self.heads, c // self.heads)
+
     def __call__(self, x_q: jnp.ndarray, x_kv: jnp.ndarray,
                  kv_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         n, tq, c = x_q.shape
         tk = x_kv.shape[1]
         head_dim = c // self.heads
-        q = nn.Dense(c, use_bias=False, name='q')(x_q)
-        k = nn.Dense(c, use_bias=False, name='k')(x_kv)
-        v = nn.Dense(c, use_bias=False, name='v')(x_kv)
-        q = q.reshape(n, tq, self.heads, head_dim)
-        k = k.reshape(n, tk, self.heads, head_dim)
-        v = v.reshape(n, tk, self.heads, head_dim)
+        q = self._heads(self.q(x_q))
+        k = self._heads(self.k(x_kv))
+        v = self._heads(self.v(x_kv))
 
         s = jnp.einsum('nqhd,nkhd->nhqk', q, k) / (head_dim ** 0.5)
         if kv_mask is not None:                     # (N, Tk): True = masked out
@@ -52,7 +66,25 @@ class _Attention(nn.Module):
             s = jnp.where(jnp.asarray(tri)[None, None], NEG, s)
         p = jax.nn.softmax(s, axis=-1)
         out = jnp.einsum('nhqk,nkhd->nqhd', p, v).reshape(n, tq, c)
-        return nn.Dense(c, use_bias=False, name='out')(out)
+        return self.out(out)
+
+    def kv(self, x_kv: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Project (N, T, C) -> cached K, V of shape (N, T, H, D)."""
+        return self._heads(self.k(x_kv)), self._heads(self.v(x_kv))
+
+    def attend_step(self, x_q1: jnp.ndarray, k_all: jnp.ndarray,
+                    v_all: jnp.ndarray,
+                    kv_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """One query frame (N, 1, C) against cached K/V (N, Tk, H, D)."""
+        n, _, c = x_q1.shape
+        head_dim = c // self.heads
+        q = self._heads(self.q(x_q1))
+        s = jnp.einsum('nqhd,nkhd->nhqk', q, k_all) / (head_dim ** 0.5)
+        if kv_mask is not None:
+            s = jnp.where(kv_mask[:, None, None, :], NEG, s)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum('nhqk,nkhd->nqhd', p, v_all).reshape(n, 1, c)
+        return self.out(out)
 
 
 class _FFN(nn.Module):
@@ -135,6 +167,49 @@ class TransformerTTS(nn.Module):
         stop = self.stop_head(y)[..., 0]                      # (N, Tm)
         return mel_out, stop
 
+    def precompute_cross_kv(self, memory: jnp.ndarray):
+        """Project the encoder memory through every cross-attention layer's
+        K/V once: returns stacked (L, N, Tt, H, D) keys and values."""
+        ks, vs = [], []
+        for i in range(self.dec_layers):
+            k, v = self.dec_cross[i].kv(memory)
+            ks.append(k)
+            vs.append(v)
+        return jnp.stack(ks), jnp.stack(vs)
+
+    def decode_step(self, mem_k, mem_v, pad_mask, y_frame: jnp.ndarray,
+                    t: jnp.ndarray, self_k, self_v):
+        """One autoregressive decoder step with KV caches — O(T) per frame.
+
+        ``y_frame`` (N, M) is the previous mel frame, ``t`` its (traced)
+        position; ``self_k``/``self_v`` are (L, N, Tmax, H, D) caches holding
+        positions < t; ``mem_k``/``mem_v`` come from
+        :meth:`precompute_cross_kv`. Returns (mel_frame (N, M), stop_logit
+        (N,), updated self_k, self_v). Numerics match :meth:`decode_mel`
+        column ``t`` exactly (cache positions > t are masked out).
+        """
+        tmax = self_k.shape[2]
+        y = nn.relu(self.prenet1(y_frame[:, None, :]))        # (N, 1, C)
+        y = nn.relu(self.prenet2(y))
+        # positional encoding column t (dec_pe.pe is (1, C, Tmax))
+        pe_t = jax.lax.dynamic_slice_in_dim(self.dec_pe.pe, t, 1, axis=2)
+        y = y * (self.hidden_dim ** 0.5) + pe_t.swapaxes(1, 2)
+        future = (jnp.arange(tmax)[None, :] > t)              # (1, Tmax)
+        for i in range(self.dec_layers):
+            k1, v1 = self.dec_self[i].kv(y)                   # (N, 1, H, D)
+            self_k = jax.lax.dynamic_update_slice(
+                self_k, k1[None], (i, 0, t, 0, 0))
+            self_v = jax.lax.dynamic_update_slice(
+                self_v, v1[None], (i, 0, t, 0, 0))
+            y = self.dec_ln[3 * i](y + self.dec_self[i].attend_step(
+                y, self_k[i], self_v[i], kv_mask=future))
+            y = self.dec_ln[3 * i + 1](y + self.dec_cross[i].attend_step(
+                y, mem_k[i], mem_v[i], kv_mask=pad_mask))
+            y = self.dec_ln[3 * i + 2](y + self.dec_ffn[i](y))
+        mel_frame = self.mel_head(y)[:, 0]                    # (N, M)
+        stop = self.stop_head(y)[:, 0, 0]                     # (N,)
+        return mel_frame, stop, self_k, self_v
+
     def __call__(self, text_ids: jnp.ndarray, mel_in: jnp.ndarray):
         memory, pad_mask = self.encode_text(text_ids)
         return self.decode_mel(memory, pad_mask, mel_in)
@@ -145,33 +220,55 @@ def synthesize(model: TransformerTTS, params, text_ids: jnp.ndarray,
                go_frame_value: float = None) -> jnp.ndarray:
     """Greedy autoregressive inference: (N, Tt) ids -> (N, M, <=max_frames) mel.
 
-    Re-runs the decoder over the growing prefix each step (jitted per length
-    bucket by padding the prefix to max_frames — one compilation).
+    KV-cached incremental decode — O(T) per frame instead of re-running the
+    decoder over the whole prefix — and the entire generation loop runs as a
+    single jitted ``lax.while_loop`` dispatch (early exit when every batch
+    row has emitted a stop token).
     """
     from pytorch_sound_tpu.ops.mel import db_to_log
     n = text_ids.shape[0]
     m = model.mel_size
+    c = model.hidden_dim
+    h = model.heads
     go = db_to_log(-50.0) if go_frame_value is None else go_frame_value
 
     memory, pad_mask = model.apply(params, text_ids,
                                    method=TransformerTTS.encode_text)
+    mem_k, mem_v = model.apply(params, memory,
+                               method=TransformerTTS.precompute_cross_kv)
 
     @jax.jit
-    def step(mel_buf):
-        out, stop = model.apply(params, memory, pad_mask, mel_buf,
-                                method=TransformerTTS.decode_mel)
-        return out, stop
+    def run(mem_k, mem_v, pad_mask):
+        kv_shape = (model.dec_layers, n, max_frames, h, c // h)
+        state0 = (
+            jnp.full((n, m, max_frames), go, dtype=jnp.float32),  # mel_buf
+            jnp.zeros(kv_shape, jnp.float32),                     # self_k
+            jnp.zeros(kv_shape, jnp.float32),                     # self_v
+            jnp.zeros(n, bool),                                   # stopped
+            jnp.int32(0),                                         # t
+        )
 
-    mel_buf = jnp.full((n, m, max_frames), go, dtype=jnp.float32)
-    stopped = np.zeros(n, bool)
-    produced = 0
-    for t in range(max_frames - 1):
-        out, stop = step(mel_buf)
-        mel_buf = mel_buf.at[:, :, t + 1].set(out[:, :, t])
-        produced = t + 1
-        stopped |= np.asarray(jax.nn.sigmoid(stop[:, t])) > stop_threshold
-        if stopped.all():
-            break
+        def cond(state):
+            _, _, _, stopped, t = state
+            return (t < max_frames - 1) & ~jnp.all(stopped)
+
+        def body(state):
+            mel_buf, self_k, self_v, stopped, t = state
+            y_frame = jax.lax.dynamic_slice_in_dim(
+                mel_buf, t, 1, axis=2)[:, :, 0]                   # (N, M)
+            out, stop, self_k, self_v = model.apply(
+                params, mem_k, mem_v, pad_mask, y_frame, t, self_k, self_v,
+                method=TransformerTTS.decode_step)
+            mel_buf = jax.lax.dynamic_update_slice(
+                mel_buf, out[:, :, None], (0, 0, t + 1))
+            stopped = stopped | (jax.nn.sigmoid(stop) > stop_threshold)
+            return mel_buf, self_k, self_v, stopped, t + 1
+
+        mel_buf, _, _, _, t = jax.lax.while_loop(cond, body, state0)
+        return mel_buf, t
+
+    mel_buf, t = run(mem_k, mem_v, pad_mask)
+    produced = int(t)
     return mel_buf[:, :, 1:produced + 1]
 
 

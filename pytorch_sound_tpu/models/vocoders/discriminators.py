@@ -107,6 +107,12 @@ class ScaleDiscriminator(nn.Module):
     """Grouped long-kernel conv1d stack over the raw wave.
 
     ``width`` scales channel counts (1.0 = the paper's 128..1024 stack).
+
+    Runs channels-last (NTC) end-to-end: input (N, C, T) is transposed once,
+    every layer is a fused bias+leaky_relu grouped conv through the Pallas
+    MXU kernel (`ops/pallas/grouped_conv.py`) on TPU, and the returned
+    feature maps are (N, T', C') — the GAN losses (`ops/gan.py`) are
+    elementwise, so the layout is free, and no per-layer transposes hit HBM.
     """
 
     width: float = 1.0
@@ -115,6 +121,7 @@ class ScaleDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         n = x.shape[0]
+        x = x.swapaxes(1, 2)   # (N, C, T) -> (N, T, C), once
         features = []
 
         def w(ch):
@@ -132,11 +139,11 @@ class ScaleDiscriminator(nn.Module):
         ]
         for i, (ic, oc, k, s, g, p) in enumerate(layout):
             x = WNConv1d(ic, oc, k, stride=s, padding=p, groups=g,
-                         precision=self.precision, name='conv_%d' % i)(x)
-            x = nn.leaky_relu(x, 0.1)
+                         precision=self.precision, data_format='NTC',
+                         fused_slope=0.1, name='conv_%d' % i)(x)
             features.append(x)
         x = WNConv1d(w(1024), 1, 3, padding=1, precision=self.precision,
-                     name='conv_post')(x)
+                     data_format='NTC', name='conv_post')(x)
         features.append(x)
         return x.reshape(n, -1), features
 
@@ -172,6 +179,8 @@ class MultiScaleDiscriminator(nn.Module):
         outs = []
         for i in range(self.n_scales):
             if i > 0:
+                # pool channels-last (avg_pool is NTC-native); the scale
+                # discriminators transpose once internally
                 x = nn.avg_pool(x.swapaxes(1, 2), (4,), strides=(2,),
                                 padding=((2, 2),)).swapaxes(1, 2)
             outs.append(ScaleDiscriminator(width=self.width,

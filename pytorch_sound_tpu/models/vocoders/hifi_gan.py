@@ -39,7 +39,14 @@ def _normal_init(std: float = 0.01):
 
 
 class WNConv1d(nn.Module):
-    """Conv1d with optional torch-style weight normalization (dim=0)."""
+    """Conv1d with optional torch-style weight normalization (dim=0).
+
+    ``data_format='NTC'`` runs the conv channels-last through
+    :func:`ops.pallas.grouped_conv.grouped_conv1d_ntc` (the MXU-shaped
+    grouped-conv kernel on TPU, XLA conv elsewhere) with an optionally fused
+    leaky_relu (``fused_slope``); parameter names/shapes are identical to the
+    NCT path so checkpoints interoperate. Dilation is NCT-only.
+    """
 
     in_channels: int
     out_channels: int
@@ -50,6 +57,8 @@ class WNConv1d(nn.Module):
     groups: int = 1
     use_weight_norm: bool = True
     precision: str = 'auto'
+    data_format: str = 'NCT'
+    fused_slope: float = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -64,9 +73,21 @@ class WNConv1d(nn.Module):
         else:
             weight = self.param('weight', _normal_init(), shape)
         bias = self.param('bias', nn.initializers.zeros, (self.out_channels,))
-        return conv1d(x, weight, bias, stride=self.stride,
-                      padding=self.padding, dilation=self.dilation,
-                      groups=self.groups, precision=self.precision)
+        if self.data_format == 'NTC':
+            assert self.dilation == 1, 'NTC path is dilation-1 only'
+            from pytorch_sound_tpu.ops.pallas.grouped_conv import \
+                grouped_conv1d_ntc
+            return grouped_conv1d_ntc(
+                x, weight, bias, stride=self.stride, padding=self.padding,
+                groups=self.groups, slope=self.fused_slope,
+                precision=('highest' if self.precision == 'highest'
+                           else 'default'))
+        out = conv1d(x, weight, bias, stride=self.stride,
+                     padding=self.padding, dilation=self.dilation,
+                     groups=self.groups, precision=self.precision)
+        if self.fused_slope is not None:
+            out = jnp.where(out > 0, out, self.fused_slope * out)
+        return out
 
 
 class WNConvTranspose1d(nn.Module):

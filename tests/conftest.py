@@ -12,6 +12,17 @@ if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# The axon TPU plugin's sitecustomize calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start, which
+# SILENTLY OVERRIDES the env var above — tests would then dispatch through
+# the TPU tunnel (glacial for interpret-mode Pallas). Re-force CPU at the
+# config level, which wins over the sitecustomize update.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+assert jax.default_backend() == 'cpu', \
+    'tests must run on the virtual CPU mesh, got %s' % jax.default_backend()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

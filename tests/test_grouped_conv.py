@@ -1,0 +1,130 @@
+"""Pallas grouped/strided conv1d kernel vs XLA conv — fwd + full VJP.
+
+Runs in Pallas interpret mode on CPU; the same code path compiles on TPU
+(dispatch in ``grouped_conv1d_ntc``). Covers every geometry class the MSD
+discriminator uses (`models/vocoders/discriminators.py:ScaleDiscriminator`):
+grouped strided k=41 at strides 1/2/4, the dense k=5 top layer, and odd
+shapes (non-divisible T, stride-3, narrow channels) plus the XLA fallback.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_sound_tpu.ops.pallas.grouped_conv import (eligible,
+                                                       grouped_conv1d_ntc)
+
+SLOPE = 0.1
+
+
+def _xla_ref(x, w, b, s, p, g, slope=SLOPE):
+    out = jax.lax.conv_general_dilated(
+        x, w.transpose(2, 1, 0), window_strides=(s,), padding=[(p, p)],
+        dimension_numbers=('NHC', 'HIO', 'NHC'), feature_group_count=g,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    out = out + b[None, None, :]
+    return jnp.where(out > 0, out, slope * out)
+
+
+def _make(ci, co, k, g, t, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((2, t, ci), dtype=np.float32) * 0.5)
+    w = jnp.asarray(rng.standard_normal((co, ci // g, k),
+                                        dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((co,), dtype=np.float32) * 0.1)
+    return x, w, b
+
+
+CASES = [
+    # (cin, cout, K, stride, groups, T) — MSD geometries at small T
+    (128, 128, 41, 2, 4, 512),
+    (128, 256, 41, 2, 8, 256),
+    (256, 512, 41, 4, 8, 256),
+    (512, 1024, 41, 4, 8, 128),
+    (1024, 1024, 41, 1, 8, 64),
+    (1024, 1024, 5, 1, 1, 64),
+    (64, 64, 15, 1, 1, 96),
+    (96, 48, 7, 3, 4, 99),
+]
+
+
+@pytest.mark.parametrize('ci,co,k,s,g,t', CASES)
+def test_grouped_conv_fwd_parity(ci, co, k, s, g, t):
+    pad = 20 if k == 41 else (k - 1) // 2
+    x, w, b = _make(ci, co, k, g, t)
+    assert eligible(ci, co, k, s, g, t, pad)
+    out = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad, groups=g,
+                             slope=SLOPE, precision='highest', interpret=True)
+    ref = _xla_ref(x, w, b, s, pad, g)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize('ci,co,k,s,g,t', [
+    (128, 128, 41, 2, 4, 512),
+    (256, 512, 41, 4, 8, 256),
+    (1024, 1024, 41, 1, 8, 64),
+    (1024, 1024, 5, 1, 1, 64),
+])
+def test_grouped_conv_vjp_parity(ci, co, k, s, g, t):
+    pad = 20 if k == 41 else (k - 1) // 2
+    x, w, b = _make(ci, co, k, g, t, seed=1)
+
+    def loss_p(x, w, b):
+        out = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad, groups=g,
+                                 slope=SLOPE, precision='highest',
+                                 interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_r(x, w, b):
+        return jnp.sum(jnp.sin(_xla_ref(x, w, b, s, pad, g)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w, b)
+    for name, a, r in zip(('dx', 'dw', 'db'), gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=3e-4,
+                                   err_msg=name)
+
+
+def test_grouped_conv_no_bias_no_slope():
+    x, w, _ = _make(128, 128, 41, 4, 256)
+    out = grouped_conv1d_ntc(x, w, None, stride=2, padding=20, groups=4,
+                             precision='highest', interpret=True)
+    ref = jax.lax.conv_general_dilated(
+        x, w.transpose(2, 1, 0), window_strides=(2,), padding=[(20, 20)],
+        dimension_numbers=('NHC', 'HIO', 'NHC'), feature_group_count=4,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ineligible_falls_back_to_xla():
+    # cin/groups < 8 -> XLA fallback, still correct
+    x, w, b = _make(8, 16, 5, 4, 64)
+    assert not eligible(8, 16, 5, 1, 4, 64, 2)
+    out = grouped_conv1d_ntc(x, w, b, stride=1, padding=2, groups=4,
+                             slope=SLOPE, precision='highest', interpret=True)
+    ref = _xla_ref(x, w, b, 1, 2, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_weight_norm_grads_flow_through_kernel():
+    """Weight-normed parameterization (g * v / ||v||) must receive grads via
+    the custom VJP — the integration mode used by ScaleDiscriminator."""
+    x, w, b = _make(128, 128, 41, 4, 256, seed=3)
+    v = w
+    gsc = jnp.linalg.norm(v.reshape(128, -1), axis=1).reshape(128, 1, 1)
+
+    def loss(v, gsc):
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2), keepdims=True) + 1e-12)
+        weight = gsc * v / norm
+        out = grouped_conv1d_ntc(x, weight, b, stride=2, padding=20, groups=4,
+                                 slope=SLOPE, precision='highest',
+                                 interpret=True)
+        return jnp.mean(out * out)
+
+    gv, gg = jax.grad(loss, argnums=(0, 1))(v, gsc)
+    assert np.isfinite(np.asarray(gv)).all() and float(jnp.abs(gv).max()) > 0
+    assert np.isfinite(np.asarray(gg)).all() and float(jnp.abs(gg).max()) > 0
