@@ -9,20 +9,24 @@ for the reference's bundled generator,
 group is a narrow (<=128-reduction) conv. This kernel reaches MXU-shaped
 matmuls with three ideas:
 
-1. **Phase folding**: a stride-``s`` conv is ``s`` polyphase stride-1 convs.
-   The input is folded once at the XLA level into phase-major rows
-   ``(T/s, s*C)`` (Mosaic cannot lower the sublane->lane merge for
-   sub-128-lane slabs in-kernel), making every tap a *contiguous sublane
-   slice* — the whole conv becomes J = ceil(K/s)+1 shifted matmuls
-   ``out += xs[j : j+T] @ W_j`` with reduction ``s*C/G``.
-2. **Group packing**: groups are packed ``gp`` at a time into block-diagonal
-   taps so the matmul reduction/lane dims fill the 128-wide MXU; ``gp`` is
-   chosen per layer by a cycle model (`_plan`).
+1. **Two-sided phase folding**: a stride-``s`` conv is ``s`` polyphase
+   stride-1 convs (input fold), and narrow outputs are widened by computing
+   ``s_out`` consecutive output rows in the lane dim (output fold). With
+   both folds the whole conv is J = ~ceil(K/(s*s_out))+1 shifted matmuls
+   ``out += xs[j : j+T] @ W_j`` whose reduction is ``s*s_out*C/G`` and whose
+   lane width is ``s_out*C_out/G`` — both sized to fill the 128-wide MXU
+   with mostly-useful work. (Input folding happens once at the XLA level:
+   Mosaic cannot lower the sublane->lane merge for sub-128-lane slabs
+   in-kernel.)
+2. **Group packing**: when folding alone can't fill the lanes, ``gp`` groups
+   are packed into block-diagonal taps; the planner (`_plan`) minimizes
+   executed (padded) MACs over all (gp, s_out) combos — e.g. the MSD's
+   128->128 g=4 s=2 layer runs at 73% useful MXU work folded (s_out=4)
+   vs 25% packed (gp=4).
 3. **One generic executor** runs forward AND input-gradient: dx is the same
-   shifted-matmul with taps transposed + tap order reversed, phases folded on
-   the *output* side (`s_out`) instead of the input (`s_in`). A separate
-   accumulation kernel produces the weight gradient with x tiles kept
-   VMEM-resident across all taps.
+   shifted-matmul with taps transposed + tap order reversed and its own
+   (fold, pack) plan. A separate accumulation kernel produces the weight
+   gradient with x tiles kept VMEM-resident across all taps.
 
 Precision: 'default' = single-pass bf16 MXU with f32 accumulators (the
 measured-fast critic mode, see discriminators.py docstring); 'highest' = f32
@@ -50,90 +54,163 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _plan(cin: int, cout: int, k: int, stride: int, groups: int):
-    """Choose the group-packing factor ``gp`` and tiling of the fwd matmul.
+# -----------------------------------------------------------------------------
+# planning
+# -----------------------------------------------------------------------------
 
-    Returns (gp, O, n_slabs, slab, lo) where per out-tile the matmul is
-    (tile, s*slab) @ (s*slab, lo); O = number of out tiles, n_slabs = number
-    of input channel slabs (== O for grouped, 1 for dense).
+def _fold_options(limit: int):
+    f = 1
+    while f <= limit:
+        yield f
+        f *= 2
+
+
+def _plan(cin: int, cout: int, k: int, stride: int, groups: int, pad: int):
+    """Choose (gp, s_out) minimizing executed MACs for the fwd matmul.
+
+    Returns (gp, s_out, O, slab, lo_mm): per out-tile the matmul is
+    (tile, S*slab) @ (S*slab, lo_mm) with S = stride*s_out, slab = gp*cg,
+    lo_mm = s_out*gp*cog; O = number of out tiles (== input slab count for
+    grouped convs, 1 slab for dense).
     """
     cg, cog = cin // groups, cout // groups
     if groups == 1:
         lo = cout if cout <= LANE else LANE
-        return 1, _cdiv(cout, lo), 1, cin, lo
+        return 1, 1, _cdiv(cout, lo), cin, lo
     best = None
     for gp in range(1, groups + 1):
         if groups % gp:
             continue
-        lx, lo = gp * cg * stride, gp * cog
-        # Mosaic constraint: the out lane-block must be a multiple of 128
-        # lanes unless it covers the whole lane axis (single out tile)
-        if gp != groups and lo % LANE:
-            continue
-        cost = (groups // gp) * _cdiv(lx, LANE) * _cdiv(lo, LANE)
-        if best is None or cost < best[0]:
-            best = (cost, gp)
-    gp = best[1]
-    return gp, groups // gp, groups // gp, gp * cg, gp * cog
+        for s_out in _fold_options(LANE):
+            lo = gp * cog * s_out
+            if lo > 4 * LANE:
+                break
+            # out lane-block offset o*lo must stay 128-aligned unless
+            # there is a single out tile covering the whole lane axis
+            if groups // gp > 1 and lo % LANE:
+                continue
+            s = stride * s_out
+            p_f = _round_up(pad, s)
+            d0 = p_f - pad
+            j_taps = (stride * (s_out - 1) + k - 1 + d0) // s + 1
+            # executed MACs ∝ G*cog * j_taps * pad128(S*gp*cg): the reduction
+            # lane dim is zero-padded to the 128 tile by the executor
+            cost = j_taps * _round_up(s * gp * cg, LANE)
+            if best is None or cost < best[0]:
+                best = (cost, gp, s_out)
+    _, gp, s_out = best
+    return gp, s_out, groups // gp, gp * cg, s_out * gp * (cout // groups)
 
 
-def _plan_dx(cin: int, cout: int, k: int, stride: int, groups: int) -> int:
-    """Group packing for the dx pass: its out lane-block is gp*cg lanes."""
+def _plan_dx(cin: int, cout: int, k: int, stride: int, groups: int,
+             pad: int):
+    """(gp, e_g) for the dx pass (or None if no legal layout exists):
+    out lanes are e_g*stride*gp*cg, reduction per tap is e_g*gp*cog."""
     cg, cog = cin // groups, cout // groups
     best = None
     for gp in range(1, groups + 1):
         if groups % gp:
             continue
-        if gp != groups and (gp * cg) % LANE:
-            continue
-        cost = (groups // gp) * _cdiv(gp * cog, LANE) * _cdiv(
-            stride * gp * cg, LANE)
-        if best is None or cost < best[0]:
-            best = (cost, gp)
-    return best[1]
+        for e_g in _fold_options(LANE):
+            lanes = e_g * stride * gp * cg
+            if lanes > 4 * LANE:
+                break
+            if lanes % LANE and (groups // gp > 1 or lanes > LANE):
+                continue
+            f_pad = max(0, _cdiv(k - 1 - pad, stride)) + e_g - 1
+            j_taps = (e_g * stride - 1 + pad + stride * f_pad) // (
+                stride * e_g) + 1
+            # executed MACs ∝ G*cg * j_taps * pad128(e_g*gp*cog)
+            cost = j_taps * _round_up(e_g * gp * cog, LANE)
+            if best is None or cost < best[0]:
+                best = (cost, gp, e_g)
+    if best is None:
+        return None
+    return best[1], best[2]
 
 
-def _geometry(k: int, stride: int, pad: int):
-    """Phase-folded tap geometry: front raw pad P_f, tap offset d0, tap count J."""
-    p_f = _round_up(pad, stride)
+def _geometry(k: int, stride: int, s_out: int, pad: int):
+    """Fwd fold geometry: front raw pad P_f, tap offset d0, tap count J."""
+    s = stride * s_out
+    p_f = _round_up(pad, s)
     d0 = p_f - pad
-    j_taps = (k - 1 - pad + p_f) // stride + 1
+    j_taps = (stride * (s_out - 1) + k - 1 + d0) // s + 1
     return p_f, d0, j_taps
 
 
-def _pack_fwd_taps(w: jnp.ndarray, gp: int, O: int, s: int, j_taps: int,
-                   d0: int, lo: int, groups: int) -> jnp.ndarray:
-    """w (cout, cg, K) -> taps (O, J, s*slab, lo).
+# -----------------------------------------------------------------------------
+# tap packing
+# -----------------------------------------------------------------------------
 
-    Grouped (n_slabs == O): block-diagonal over the ``gp`` packed groups,
-    row = p*slab + gi*cg + ci (phase-major), col = gi*cog + co.
-    Dense (groups == 1): out-channel tiles of ``lo`` lanes, rows = p*cin + ci.
+def _pack_fwd_taps(w: jnp.ndarray, gp: int, O: int, s_in: int, s_out: int,
+                   j_taps: int, d0: int, groups: int) -> jnp.ndarray:
+    """w (cout, cg, K) -> taps (O, J, S*slab, s_out*gp*cog).
+
+    Row order within a tap: (p, gi, ci) phase-major over S = s_in*s_out;
+    col order: (r, gi, co) output-phase-major — matching `_phase_fold` /
+    `_phase_unfold`. taps[o,j,(p,gi,ci),(r,gi',co)] = w[o,gi,co,ci,m] for
+    m = S*j + p - s_in*r - d0 in [0, K) and gi == gi', else 0.
+    Dense (groups == 1, s_out == 1): out-channel tiles of `lo` lanes.
     """
     cout, cg, k = w.shape
-    # w_ext[., ., m] = w[., ., m - d0], m = s*j + p in [0, s*J)
-    w_ext = jnp.pad(w, [(0, 0), (0, 0), (d0, s * j_taps - k - d0)])
+    S = s_in * s_out
     if groups == 1:
-        # dense: (cout, cin, J, s) -> (O, J, s, cin, lo)
-        we = w_ext.reshape(O, lo, cg, j_taps, s)
-        taps = we.transpose(0, 3, 4, 2, 1).reshape(O, j_taps, s * cg, lo)
-        return taps
-    cog = lo // gp
-    # grouped block-diagonal
-    we = w_ext.reshape(O, gp, cog, cg, j_taps, s)
-    z = jnp.zeros((O, j_taps, s, gp, cg, gp, cog), w.dtype)
+        lo = cout // O
+        w_ext = jnp.pad(w, [(0, 0), (0, 0), (d0, S * j_taps - k - d0)])
+        we = w_ext.reshape(O, lo, cg, j_taps, S)
+        return we.transpose(0, 3, 4, 2, 1).reshape(O, j_taps, S * cg, lo)
+    cog = cout // groups
+    wt = w.reshape(O, gp, cog, cg, k)
+    jg = np.arange(j_taps)[:, None, None]
+    pg = np.arange(S)[None, :, None]
+    rg = np.arange(s_out)[None, None, :]
+    m = S * jg + pg - s_in * rg - d0                   # (J, S, s_out)
+    valid = jnp.asarray((m >= 0) & (m < k), w.dtype)
+    mc = jnp.asarray(np.clip(m, 0, k - 1))
+    # gathered (O, gp, cog, cg, J, S, s_out)
+    gathered = wt[..., mc] * valid[None, None, None, None]
+    # block-diagonal over gi: z[o, j, p, gi, ci, r, gi, co]
+    z = jnp.zeros((O, j_taps, S, gp, cg, s_out, gp, cog), w.dtype)
     ar = jnp.arange(gp)
-    # advanced indexing with two index arrays -> diagonal; result dims move
-    # the gp axis to the front: (gp, O, J, s, cg, cog)
-    diag_src = we.transpose(1, 0, 4, 5, 3, 2)      # (gp, O, J, s, cg, cog)
-    z = z.at[:, :, :, ar, :, ar, :].set(diag_src)
-    slab = gp * cg
-    return z.reshape(O, j_taps, s, slab, gp * cog).reshape(
-        O, j_taps, s * slab, gp * cog)
+    diag_src = gathered.transpose(1, 0, 4, 5, 3, 6, 2)  # (gp,O,J,p,ci,r,co)
+    z = z.at[:, :, :, ar, :, :, ar, :].set(diag_src)
+    return z.reshape(O, j_taps, S * gp * cg, s_out * gp * cog)
 
+
+def _pack_dx_taps(w: jnp.ndarray, gp: int, e_g: int, s_in: int, pad: int,
+                  groups: int, f_pad: int, j_taps: int) -> jnp.ndarray:
+    """Taps for dx: (O, J, e_g*gp*cog, E*gp*cg) with E = e_g*s_in.
+
+    Row order: (q, gi, co) over the folded-by-e_g gradient; col order:
+    (rho, gi, ci) over the folded-by-E dx rows.
+    T[j][(q,gi,co),(rho,gi',ci)] = w[gi,co,ci,m] for
+    m = rho + pad + s_in*f_pad - s_in*(e_g*j + q) in [0, K), gi == gi'.
+    """
+    cout, cg, k = w.shape
+    cog = cout // groups
+    O = groups // gp
+    E = e_g * s_in
+    wt = w.reshape(O, gp, cog, cg, k)
+    jg = np.arange(j_taps)[:, None, None]
+    qg = np.arange(e_g)[None, :, None]
+    rg = np.arange(E)[None, None, :]
+    m = rg + pad + s_in * f_pad - s_in * (e_g * jg + qg)   # (J, e_g, E)
+    valid = jnp.asarray((m >= 0) & (m < k), w.dtype)
+    mc = jnp.asarray(np.clip(m, 0, k - 1))
+    gathered = wt[..., mc] * valid[None, None, None, None]  # (O,gp,cog,cg,J,e_g,E)
+    z = jnp.zeros((O, j_taps, e_g, gp, cog, E, gp, cg), w.dtype)
+    ar = jnp.arange(gp)
+    diag_src = gathered.transpose(1, 0, 4, 5, 2, 6, 3)     # (gp,O,J,q,co,rho,ci)
+    z = z.at[:, :, :, ar, :, :, ar, :].set(diag_src)
+    return z.reshape(O, j_taps, e_g * gp * cog, E * gp * cg)
+
+
+# -----------------------------------------------------------------------------
+# executor
+# -----------------------------------------------------------------------------
 
 def _kernel(x_ref, taps_ref, bias_ref, out_ref, scr, sem, *,
-            tile: int, j_taps: int, n_slabs: int,
-            n_out_tiles: int, lx: int, lo_mm: int, r_s: int,
+            tile: int, j_taps: int, n_slabs: int, lo_mm: int, r_s: int,
             precision: str, slope: Optional[float], has_bias: bool):
     b = pl.program_id(0)
     o = pl.program_id(1)
@@ -199,6 +276,13 @@ def _shifted_matmul(x_ph: jnp.ndarray, taps: jnp.ndarray,
     n, n_slabs, ph_rows, lx = x_ph.shape
     n_out_tiles, j_taps, lx_t, lo_mm = taps.shape
     assert lx_t == lx
+    if lx % LANE:
+        # Mosaic requires HBM-DMA'd lane extents to be multiples of the 128
+        # tile; zero-pad the reduction lanes (zero taps rows -> no effect)
+        lx_p = _round_up(lx, LANE)
+        x_ph = jnp.pad(x_ph, [(0, 0), (0, 0), (0, 0), (0, lx_p - lx)])
+        taps = jnp.pad(taps, [(0, 0), (0, 0), (0, lx_p - lx), (0, 0)])
+        lx = lx_p
     n_tiles = _cdiv(out_rows, tile)
     r_s = _round_up(tile + j_taps - 1, 8)
     assert ph_rows >= (n_tiles - 1) * tile + r_s, \
@@ -210,9 +294,9 @@ def _shifted_matmul(x_ph: jnp.ndarray, taps: jnp.ndarray,
         taps = taps.astype(jnp.bfloat16)
 
     kernel = functools.partial(
-        _kernel, tile=tile, j_taps=j_taps,
-        n_slabs=n_slabs, n_out_tiles=n_out_tiles, lx=lx, lo_mm=lo_mm,
-        r_s=r_s, precision=precision, slope=slope, has_bias=has_bias)
+        _kernel, tile=tile, j_taps=j_taps, n_slabs=n_slabs,
+        lo_mm=lo_mm, r_s=r_s, precision=precision, slope=slope,
+        has_bias=has_bias)
     out = pl.pallas_call(
         kernel,
         grid=(n, n_out_tiles, n_tiles),
@@ -237,14 +321,14 @@ def _shifted_matmul(x_ph: jnp.ndarray, taps: jnp.ndarray,
     return out
 
 
-def _pad_rows_for(t_rows_in: int, front: int, s_in: int, tile: int,
+def _pad_rows_for(t_rows_in: int, front: int, s_fold: int, tile: int,
                   out_rows: int, j_taps: int) -> int:
     """Total raw rows after padding so every program's DMA span is in-bounds
-    (a multiple of the phase-fold factor ``s_in``)."""
+    (a multiple of the fold factor ``s_fold``)."""
     n_tiles = _cdiv(out_rows, tile)
     r_s = _round_up(tile + j_taps - 1, 8)
-    need_raw = ((n_tiles - 1) * tile + r_s) * s_in
-    return max(need_raw, _round_up(front + t_rows_in, s_in))
+    need_raw = ((n_tiles - 1) * tile + r_s) * s_fold
+    return max(need_raw, _round_up(front + t_rows_in, s_fold))
 
 
 def _pick_tile(out_rows: int) -> int:
@@ -261,18 +345,28 @@ def _fwd_impl(x, w, b, stride, padding, groups, slope, precision, interpret):
     n, t_in, cin = x.shape
     cout, cg, k = w.shape
     t_out = (t_in + 2 * padding - k) // stride + 1
-    gp, n_out, n_slabs, slab, lo = _plan(cin, cout, k, stride, groups)
-    p_f, d0, j_taps = _geometry(k, stride, padding)
-    tile = _pick_tile(t_out)
-    total = _pad_rows_for(t_in, p_f, stride, tile, t_out, j_taps)
+    gp, s_out, n_out, slab, lo_mm = _plan(cin, cout, k, stride, groups,
+                                          padding)
+    S = stride * s_out
+    p_f, d0, j_taps = _geometry(k, stride, s_out, padding)
+    v_rows = _cdiv(t_out, s_out)
+    tile = _pick_tile(v_rows)
+    n_slabs = n_out if groups > 1 else 1
+    total = _pad_rows_for(t_in, p_f, S, tile, v_rows, j_taps)
     x_pad = jnp.pad(x, [(0, 0), (p_f, total - p_f - t_in), (0, 0)])
-    x_ph = _phase_fold(x_pad, stride, n_slabs)
-    taps = _pack_fwd_taps(w, gp, n_out, stride, j_taps, d0, lo, groups)
-    bias2 = None if b is None else b.reshape(n_out, 1, lo).astype(jnp.float32)
-    out3 = _shifted_matmul(x_ph, taps, bias2, tile=tile, out_rows=t_out,
+    x_ph = _phase_fold(x_pad, S, n_slabs)
+    taps = _pack_fwd_taps(w, gp, n_out, stride, s_out, j_taps, d0, groups)
+    if b is None:
+        bias2 = None
+    else:
+        bt = b.reshape(n_out, lo_mm // s_out)
+        bias2 = jnp.tile(bt, (1, s_out)).reshape(n_out, 1, lo_mm) \
+            .astype(jnp.float32)
+    out3 = _shifted_matmul(x_ph, taps, bias2, tile=tile, out_rows=v_rows,
                            precision=precision, slope=slope,
                            interpret=interpret)
-    return out3[:, :t_out, :cout]
+    raw = _phase_unfold(out3, s_out, n_out)
+    return raw[:, :t_out, :cout]
 
 
 def _dx_impl(gbar, w, stride, padding, groups, t_in, precision, interpret):
@@ -280,18 +374,12 @@ def _dx_impl(gbar, w, stride, padding, groups, t_in, precision, interpret):
     n, t_out, cout = gbar.shape
     _, cg, k = w.shape
     cin = cg * groups
-    p_f, d0, j_taps = _geometry(k, stride, padding)
-    if groups == 1:
-        gp, n_out = 1, 1 if cout <= LANE else cout // LANE
-        lo = cout if cout <= LANE else LANE
-    else:
-        gp = _plan_dx(cin, cout, k, stride, groups)
-        n_out = groups // gp
-        lo = gp * (cout // groups)
-    taps = _pack_fwd_taps(w, gp, n_out, stride, j_taps, d0, lo, groups)
 
     if groups == 1:
-        # gather the full-cout reduction per dx out-tile of the s*cin lanes
+        # dense: reuse the fwd packer at s_out=1, gather full-cout reduction
+        p_f, d0, j_taps = _geometry(k, stride, 1, padding)
+        o_fw = 1 if cout <= LANE else cout // LANE
+        taps = _pack_fwd_taps(w, 1, o_fw, stride, 1, j_taps, d0, groups)
         sin = taps.shape[2]                      # s * cin
         t_all = jnp.flip(taps, axis=1).transpose(1, 2, 0, 3) \
             .reshape(j_taps, sin, cout)
@@ -299,28 +387,50 @@ def _dx_impl(gbar, w, stride, padding, groups, t_in, precision, interpret):
         lo_dx = sin // o_dx
         taps_dx = t_all.reshape(j_taps, o_dx, lo_dx, cout) \
             .transpose(1, 0, 3, 2)               # (O_dx, J, cout, lo_dx)
-        slab_g = cout
-        n_slabs_dx = 1
-    else:
-        taps_dx = jnp.flip(taps, axis=1).transpose(0, 1, 3, 2)
-        o_dx = n_out
-        lo_dx = taps_dx.shape[3]                 # s * slab
-        slab_g = lo
-        n_slabs_dx = n_out
+        v_need = _cdiv(p_f + t_in, stride)
+        tile = _pick_tile(v_need)
+        front = j_taps - 1
+        total = _pad_rows_for(t_out, front, 1, tile, v_need, j_taps)
+        g_pad = jnp.pad(gbar, [(0, 0), (front, total - front - t_out), (0, 0)])
+        g3 = _phase_fold(g_pad, 1, 1)
+        out3 = _shifted_matmul(g3, taps_dx, None, tile=tile, out_rows=v_need,
+                               precision=precision, slope=None,
+                               interpret=interpret)
+        raw = _phase_unfold(out3, stride, o_dx)
+        return raw[:, p_f:p_f + t_in, :cin]
 
-    v_need = _cdiv(p_f + t_in, stride)
+    plan = _plan_dx(cin, cout, k, stride, groups, padding)
+    if plan is None:
+        # no legal folded layout (odd channel counts) — XLA transposed conv
+        def f(x):
+            return jax.lax.conv_general_dilated(
+                x, w.transpose(2, 1, 0), window_strides=(stride,),
+                padding=[(padding, padding)],
+                dimension_numbers=('NHC', 'HIO', 'NHC'),
+                feature_group_count=groups,
+                precision=(jax.lax.Precision.HIGHEST
+                           if precision == 'highest'
+                           else jax.lax.Precision.DEFAULT),
+                preferred_element_type=jnp.float32)
+        _, vjp = jax.vjp(f, jnp.zeros((n, t_in, cin), gbar.dtype))
+        return vjp(gbar)[0]
+    gp, e_g = plan
+    O = groups // gp
+    E = e_g * stride
+    f_pad = max(0, _cdiv(k - 1 - padding, stride)) + e_g - 1
+    j_taps = (E - 1 + padding + stride * f_pad) // (stride * e_g) + 1
+    taps_dx = _pack_dx_taps(w, gp, e_g, stride, padding, groups, f_pad,
+                            j_taps)
+    v_need = _cdiv(t_in, E)
     tile = _pick_tile(v_need)
-    front = j_taps - 1
-    total = _pad_rows_for(t_out, front, 1, tile, v_need, j_taps)
-    g_pad = jnp.pad(gbar, [(0, 0), (front, total - front - t_out), (0, 0)])
-    g3 = _phase_fold(g_pad, 1, n_slabs_dx)
+    total = _pad_rows_for(t_out, f_pad, e_g, tile, v_need, j_taps)
+    g_pad = jnp.pad(gbar, [(0, 0), (f_pad, total - f_pad - t_out), (0, 0)])
+    g3 = _phase_fold(g_pad, e_g, O)
     out3 = _shifted_matmul(g3, taps_dx, None, tile=tile, out_rows=v_need,
                            precision=precision, slope=None,
                            interpret=interpret)
-    # phase-major (N, V_pad, O*s*lo_out) -> raw padded x rows -> true rows
-    raw = _phase_unfold(out3, stride, o_dx)
-    dx = raw[:, p_f:p_f + t_in, :cin]
-    return dx
+    raw = _phase_unfold(out3, E, O)
+    return raw[:, :t_in, :cin]
 
 
 def _dw_kernel(x_ref, g_ref, out_ref, scr, sem, *, tile, j_taps,
@@ -343,7 +453,7 @@ def _dw_kernel(x_ref, g_ref, out_ref, scr, sem, *, tile, j_taps,
 
     dma.wait()
     xs = scr[...]
-    g = g_ref[0]
+    g = g_ref[0, 0]
     if precision == 'default':
         xs = xs.astype(jnp.bfloat16)
         g = g.astype(jnp.bfloat16)
@@ -357,34 +467,50 @@ def _dw_kernel(x_ref, g_ref, out_ref, scr, sem, *, tile, j_taps,
 
 
 def _dw_impl(x, gbar, w_shape, stride, padding, groups, precision, interpret):
-    """dw (cout, cg, K) from x (N, T_in, cin) and gbar (N, T_out, cout)."""
+    """dw (cout, cg, K) from x (N, T_in, cin) and gbar (N, T_out, cout).
+
+    Accumulates the gradient in the packed fwd-tap layout (x tiles stay
+    VMEM-resident across all taps), then unpacks: each weight w[m] appears
+    s_out times in the packed layout (once per output phase r); the true
+    gradient is the sum of the s_out copies.
+    """
     n, t_in, cin = x.shape
     _, t_out, cout = gbar.shape
     cout_w, cg, k = w_shape
-    gp, n_out, n_slabs, slab, lo = _plan(cin, cout, k, stride, groups)
-    p_f, d0, j_taps = _geometry(k, stride, padding)
-    tile = _pick_tile(t_out)
-    n_tiles = _cdiv(t_out, tile)
-    total = _pad_rows_for(t_in, p_f, stride, tile, t_out, j_taps)
+    gp, s_out, n_out, slab, lo_mm = _plan(cin, cout, k, stride, groups,
+                                          padding)
+    S = stride * s_out
+    p_f, d0, j_taps = _geometry(k, stride, s_out, padding)
+    v_rows = _cdiv(t_out, s_out)
+    tile = _pick_tile(v_rows)
+    n_tiles = _cdiv(v_rows, tile)
+    n_slabs = n_out if groups > 1 else 1
+    total = _pad_rows_for(t_in, p_f, S, tile, v_rows, j_taps)
     x_pad = jnp.pad(x, [(0, 0), (p_f, total - p_f - t_in), (0, 0)])
-    x_ph = _phase_fold(x_pad, stride, n_slabs)
-    g_pad = jnp.pad(gbar, [(0, 0), (0, n_tiles * tile - t_out), (0, 0)])
+    x_ph = _phase_fold(x_pad, S, n_slabs)
+    g_rows = n_tiles * tile * s_out
+    g_pad = jnp.pad(gbar, [(0, 0), (0, g_rows - t_out), (0, 0)])
+    g4 = _phase_fold(g_pad, s_out, n_out)       # (N, O, v_rows_pad, lo_mm)
     r_s = _round_up(tile + j_taps - 1, 8)
-    lx = stride * slab
+    lx_real = S * slab
+    lx = _round_up(lx_real, LANE)               # DMA lane-tile alignment
+    if lx != lx_real:
+        x_ph = jnp.pad(x_ph, [(0, 0), (0, 0), (0, 0), (0, lx - lx_real)])
 
     kernel = functools.partial(
         _dw_kernel, tile=tile, j_taps=j_taps, n_slabs=n_slabs,
-        lo_mm=lo, r_s=r_s, precision=precision)
+        lo_mm=lo_mm, r_s=r_s, precision=precision)
     taps_grad = pl.pallas_call(
         kernel,
         grid=(n_out, n, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, tile, lo), lambda o, b, t: (b, t, o)),
+            pl.BlockSpec((1, 1, tile, lo_mm), lambda o, b, t: (b, o, t, 0)),
         ],
-        out_specs=pl.BlockSpec((1, j_taps, lx, lo),
+        out_specs=pl.BlockSpec((1, j_taps, lx, lo_mm),
                                lambda o, b, t: (o, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_out, j_taps, lx, lo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, j_taps, lx, lo_mm),
+                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((r_s, lx), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -393,22 +519,32 @@ def _dw_impl(x, gbar, w_shape, stride, padding, groups, precision, interpret):
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),
         interpret=interpret,
-    )(x_ph, g_pad)
+    )(x_ph, g4)
+    taps_grad = taps_grad[:, :, :lx_real, :]
 
-    # unpack taps-layout gradient back to w (cout, cg, K)
-    s = stride
     if groups == 1:
-        # (O, J, s*cin, lo) -> w_ext (cout, cg, J, s) -> slice d0..d0+K
-        wg = taps_grad.reshape(n_out, j_taps, s, cg, lo) \
-            .transpose(0, 4, 3, 1, 2).reshape(cout, cg, j_taps * s)
-    else:
-        cog = lo // gp
-        t7 = taps_grad.reshape(n_out, j_taps, s, gp, cg, gp, cog)
-        ar = jnp.arange(gp)
-        diag = t7[:, :, :, ar, :, ar, :]         # (gp, O, J, s, cg, cog)
-        wg = diag.transpose(1, 0, 5, 4, 2, 3) \
-            .reshape(cout, cg, j_taps * s)
-    dw = wg[:, :, d0:d0 + k]
+        # (O, J, S*cin, lo) -> w_ext (cout, cg, J*S) -> slice d0..d0+K
+        lo = lo_mm
+        wg = taps_grad.reshape(n_out, j_taps, S, cg, lo) \
+            .transpose(0, 4, 3, 1, 2).reshape(cout, cg, j_taps * S)
+        return wg[:, :, d0:d0 + k]
+    cog = lo_mm // (s_out * gp)
+    t8 = taps_grad.reshape(n_out, j_taps, S, gp, cg, s_out, gp, cog)
+    ar = jnp.arange(gp)
+    diag = t8[:, :, :, ar, :, :, ar, :]          # (gp, O, J, S, cg, s_out, cog)
+    # dw[m] = sum_r diag[j(m,r), p(m,r), r]
+    mg = np.arange(k)[:, None]
+    rg = np.arange(s_out)[None, :]
+    lin = S * 0 + (stride * rg + mg + d0)        # (K, s_out)
+    j_idx = jnp.asarray(lin // S)
+    p_idx = jnp.asarray(lin % S)
+    r_idx = jnp.asarray(np.broadcast_to(rg, (k, s_out)))
+    g6 = diag[:, :, j_idx, p_idx, :, r_idx, :]
+    # index arrays at axes (2,3,5) are SEPARATED by the sliced cg axis, so
+    # their broadcast shape (K, s_out) moves to the front:
+    # g6 is (K, s_out, gp, O, cg, cog); the true dw[m] sums the s_out copies
+    g5 = g6.sum(axis=1)                          # (K, gp, O, cg, cog)
+    dw = g5.transpose(2, 1, 4, 3, 0).reshape(cout, cg, k)
     return dw
 
 

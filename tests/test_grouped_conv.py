@@ -63,10 +63,12 @@ def test_grouped_conv_fwd_parity(ci, co, k, s, g, t):
 
 
 @pytest.mark.parametrize('ci,co,k,s,g,t', [
-    (128, 128, 41, 2, 4, 512),
+    (128, 128, 41, 2, 4, 512),    # dx reduction lanes 64 -> lane-padded
     (256, 512, 41, 4, 8, 256),
     (1024, 1024, 41, 1, 8, 64),
     (1024, 1024, 5, 1, 1, 64),
+    (64, 64, 15, 1, 1, 96),       # dense lx=64 -> lane-padded
+    (96, 48, 7, 3, 4, 99),        # no legal dx fold -> XLA dx fallback
 ])
 def test_grouped_conv_vjp_parity(ci, co, k, s, g, t):
     pad = 20 if k == 41 else (k - 1) // 2
