@@ -65,7 +65,8 @@ def _fold_options(limit: int):
         f *= 2
 
 
-def _plan(cin: int, cout: int, k: int, stride: int, groups: int, pad: int):
+def _plan(cin: int, cout: int, k: int, stride: int, groups: int, pad: int,
+          dilation: int = 1):
     """Choose (gp, s_out) minimizing executed MACs for the fwd matmul.
 
     Returns (gp, s_out, O, slab, lo_mm): per out-tile the matmul is
@@ -75,6 +76,29 @@ def _plan(cin: int, cout: int, k: int, stride: int, groups: int, pad: int):
     """
     cg, cog = cin // groups, cout // groups
     if groups == 1:
+        # dense: either classic out-channel tiles (s_out=1), or fold s_out
+        # output rows into lanes — the narrow-channel long-T generator case
+        # (e.g. 64ch k7: (tile,512)@(512,512) instead of (tile,128)@(128,64))
+        best = None
+        for s_out in _fold_options(LANE):
+            lo = s_out * cout
+            if lo > 4 * LANE:
+                break
+            if s_out > 1 and lo % LANE and lo > LANE:
+                continue
+            s = stride * s_out
+            p_f = _round_up(pad, s)
+            d0 = p_f - pad
+            j_taps = (stride * (s_out - 1) + dilation * (k - 1) + d0) // s + 1
+            # cost ∝ executed MACs / lane-width win: wider lo engages more
+            # MXU lanes (measured: (K,128) runs ~0.5x the (K,512) rate)
+            rate = min(lo, 512) / 512
+            cost = j_taps * _round_up(s * cin, LANE) / rate
+            if best is None or cost < best[0]:
+                best = (cost, s_out)
+        if best is not None and best[1] > 1:
+            s_out = best[1]
+            return 1, s_out, 1, cin, s_out * cout
         lo = cout if cout <= LANE else LANE
         return 1, 1, _cdiv(cout, lo), cin, lo
     best = None
@@ -92,7 +116,7 @@ def _plan(cin: int, cout: int, k: int, stride: int, groups: int, pad: int):
             s = stride * s_out
             p_f = _round_up(pad, s)
             d0 = p_f - pad
-            j_taps = (stride * (s_out - 1) + k - 1 + d0) // s + 1
+            j_taps = (stride * (s_out - 1) + dilation * (k - 1) + d0) // s + 1
             # executed MACs ∝ G*cog * j_taps * pad128(S*gp*cg): the reduction
             # lane dim is zero-padded to the 128 tile by the executor
             cost = j_taps * _round_up(s * gp * cg, LANE)
@@ -103,7 +127,7 @@ def _plan(cin: int, cout: int, k: int, stride: int, groups: int, pad: int):
 
 
 def _plan_dx(cin: int, cout: int, k: int, stride: int, groups: int,
-             pad: int):
+             pad: int, dilation: int = 1):
     """(gp, e_g) for the dx pass (or None if no legal layout exists):
     out lanes are e_g*stride*gp*cg, reduction per tap is e_g*gp*cog."""
     cg, cog = cin // groups, cout // groups
@@ -117,7 +141,8 @@ def _plan_dx(cin: int, cout: int, k: int, stride: int, groups: int,
                 break
             if lanes % LANE and (groups // gp > 1 or lanes > LANE):
                 continue
-            f_pad = max(0, _cdiv(k - 1 - pad, stride)) + e_g - 1
+            f_pad = max(0, _cdiv(dilation * (k - 1) - pad, stride)) \
+                + e_g - 1
             j_taps = (e_g * stride - 1 + pad + stride * f_pad) // (
                 stride * e_g) + 1
             # executed MACs ∝ G*cg * j_taps * pad128(e_g*gp*cog)
@@ -129,12 +154,14 @@ def _plan_dx(cin: int, cout: int, k: int, stride: int, groups: int,
     return best[1], best[2]
 
 
-def _geometry(k: int, stride: int, s_out: int, pad: int):
+def _geometry(k: int, stride: int, s_out: int, pad: int,
+              dilation: int = 1):
     """Fwd fold geometry: front raw pad P_f, tap offset d0, tap count J."""
     s = stride * s_out
     p_f = _round_up(pad, s)
     d0 = p_f - pad
-    j_taps = (stride * (s_out - 1) + k - 1 + d0) // s + 1
+    span = dilation * (k - 1)
+    j_taps = (stride * (s_out - 1) + span + d0) // s + 1
     return p_f, d0, j_taps
 
 
@@ -143,7 +170,8 @@ def _geometry(k: int, stride: int, s_out: int, pad: int):
 # -----------------------------------------------------------------------------
 
 def _pack_fwd_taps(w: jnp.ndarray, gp: int, O: int, s_in: int, s_out: int,
-                   j_taps: int, d0: int, groups: int) -> jnp.ndarray:
+                   j_taps: int, d0: int, groups: int,
+                   dilation: int = 1) -> jnp.ndarray:
     """w (cout, cg, K) -> taps (O, J, S*slab, s_out*gp*cog).
 
     Row order within a tap: (p, gi, ci) phase-major over S = s_in*s_out;
@@ -154,7 +182,7 @@ def _pack_fwd_taps(w: jnp.ndarray, gp: int, O: int, s_in: int, s_out: int,
     """
     cout, cg, k = w.shape
     S = s_in * s_out
-    if groups == 1:
+    if groups == 1 and s_out == 1 and dilation == 1:
         lo = cout // O
         w_ext = jnp.pad(w, [(0, 0), (0, 0), (d0, S * j_taps - k - d0)])
         we = w_ext.reshape(O, lo, cg, j_taps, S)
@@ -164,8 +192,9 @@ def _pack_fwd_taps(w: jnp.ndarray, gp: int, O: int, s_in: int, s_out: int,
     jg = np.arange(j_taps)[:, None, None]
     pg = np.arange(S)[None, :, None]
     rg = np.arange(s_out)[None, None, :]
-    m = S * jg + pg - s_in * rg - d0                   # (J, S, s_out)
-    valid = jnp.asarray((m >= 0) & (m < k), w.dtype)
+    pos = S * jg + pg - s_in * rg - d0                 # (J, S, s_out)
+    m = pos // dilation
+    valid = jnp.asarray((pos >= 0) & (pos % dilation == 0) & (m < k), w.dtype)
     mc = jnp.asarray(np.clip(m, 0, k - 1))
     # gathered (O, gp, cog, cg, J, S, s_out)
     gathered = wt[..., mc] * valid[None, None, None, None]
@@ -178,7 +207,8 @@ def _pack_fwd_taps(w: jnp.ndarray, gp: int, O: int, s_in: int, s_out: int,
 
 
 def _pack_dx_taps(w: jnp.ndarray, gp: int, e_g: int, s_in: int, pad: int,
-                  groups: int, f_pad: int, j_taps: int) -> jnp.ndarray:
+                  groups: int, f_pad: int, j_taps: int,
+                  dilation: int = 1) -> jnp.ndarray:
     """Taps for dx: (O, J, e_g*gp*cog, E*gp*cg) with E = e_g*s_in.
 
     Row order: (q, gi, co) over the folded-by-e_g gradient; col order:
@@ -194,8 +224,9 @@ def _pack_dx_taps(w: jnp.ndarray, gp: int, e_g: int, s_in: int, pad: int,
     jg = np.arange(j_taps)[:, None, None]
     qg = np.arange(e_g)[None, :, None]
     rg = np.arange(E)[None, None, :]
-    m = rg + pad + s_in * f_pad - s_in * (e_g * jg + qg)   # (J, e_g, E)
-    valid = jnp.asarray((m >= 0) & (m < k), w.dtype)
+    pos = rg + pad + s_in * f_pad - s_in * (e_g * jg + qg)  # (J, e_g, E)
+    m = pos // dilation
+    valid = jnp.asarray((pos >= 0) & (pos % dilation == 0) & (m < k), w.dtype)
     mc = jnp.asarray(np.clip(m, 0, k - 1))
     gathered = wt[..., mc] * valid[None, None, None, None]  # (O,gp,cog,cg,J,e_g,E)
     z = jnp.zeros((O, j_taps, e_g, gp, cog, E, gp, cg), w.dtype)
@@ -341,21 +372,23 @@ def _pick_tile(out_rows: int) -> int:
 # forward / dx / dw wrappers
 # -----------------------------------------------------------------------------
 
-def _fwd_impl(x, w, b, stride, padding, groups, slope, precision, interpret):
+def _fwd_impl(x, w, b, stride, padding, groups, dilation, slope,
+              precision, interpret):
     n, t_in, cin = x.shape
     cout, cg, k = w.shape
-    t_out = (t_in + 2 * padding - k) // stride + 1
+    t_out = (t_in + 2 * padding - dilation * (k - 1) - 1) // stride + 1
     gp, s_out, n_out, slab, lo_mm = _plan(cin, cout, k, stride, groups,
-                                          padding)
+                                          padding, dilation)
     S = stride * s_out
-    p_f, d0, j_taps = _geometry(k, stride, s_out, padding)
+    p_f, d0, j_taps = _geometry(k, stride, s_out, padding, dilation)
     v_rows = _cdiv(t_out, s_out)
     tile = _pick_tile(v_rows)
     n_slabs = n_out if groups > 1 else 1
     total = _pad_rows_for(t_in, p_f, S, tile, v_rows, j_taps)
     x_pad = jnp.pad(x, [(0, 0), (p_f, total - p_f - t_in), (0, 0)])
     x_ph = _phase_fold(x_pad, S, n_slabs)
-    taps = _pack_fwd_taps(w, gp, n_out, stride, s_out, j_taps, d0, groups)
+    taps = _pack_fwd_taps(w, gp, n_out, stride, s_out, j_taps, d0, groups,
+                          dilation)
     if b is None:
         bias2 = None
     else:
@@ -369,17 +402,22 @@ def _fwd_impl(x, w, b, stride, padding, groups, slope, precision, interpret):
     return raw[:, :t_out, :cout]
 
 
-def _dx_impl(gbar, w, stride, padding, groups, t_in, precision, interpret):
+def _dx_impl(gbar, w, stride, padding, groups, dilation, t_in, precision,
+             interpret):
     """gbar (N, T_out, cout) -> dx (N, T_in, cin)."""
     n, t_out, cout = gbar.shape
     _, cg, k = w.shape
     cin = cg * groups
 
-    if groups == 1:
-        # dense: reuse the fwd packer at s_out=1, gather full-cout reduction
-        p_f, d0, j_taps = _geometry(k, stride, 1, padding)
+    if groups == 1 and dilation == 1 and _plan_dx(
+            cin, cout, k, stride, 1, padding) in (None, (1, 1)):
+        # dense: reuse the fwd packer at s_out=1, gather full-cout reduction.
+        # (When an e_g>1 folded layout exists — narrow-channel generator
+        # convs — the general grouped path below is the better program.)
+        p_f, d0, j_taps = _geometry(k, stride, 1, padding, dilation)
         o_fw = 1 if cout <= LANE else cout // LANE
-        taps = _pack_fwd_taps(w, 1, o_fw, stride, 1, j_taps, d0, groups)
+        taps = _pack_fwd_taps(w, 1, o_fw, stride, 1, j_taps, d0, groups,
+                              dilation)
         sin = taps.shape[2]                      # s * cin
         t_all = jnp.flip(taps, axis=1).transpose(1, 2, 0, 3) \
             .reshape(j_taps, sin, cout)
@@ -396,16 +434,19 @@ def _dx_impl(gbar, w, stride, padding, groups, t_in, precision, interpret):
         out3 = _shifted_matmul(g3, taps_dx, None, tile=tile, out_rows=v_need,
                                precision=precision, slope=None,
                                interpret=interpret)
-        raw = _phase_unfold(out3, stride, o_dx)
+        # global out lanes are (p, ci) regardless of the executor's o_dx
+        # lane-tile split, so unfold as ONE tile of stride phases
+        raw = _phase_unfold(out3, stride, 1)
         return raw[:, p_f:p_f + t_in, :cin]
 
-    plan = _plan_dx(cin, cout, k, stride, groups, padding)
+    plan = _plan_dx(cin, cout, k, stride, groups, padding, dilation)
     if plan is None:
         # no legal folded layout (odd channel counts) — XLA transposed conv
         def f(x):
             return jax.lax.conv_general_dilated(
                 x, w.transpose(2, 1, 0), window_strides=(stride,),
                 padding=[(padding, padding)],
+                rhs_dilation=(dilation,),
                 dimension_numbers=('NHC', 'HIO', 'NHC'),
                 feature_group_count=groups,
                 precision=(jax.lax.Precision.HIGHEST
@@ -417,10 +458,10 @@ def _dx_impl(gbar, w, stride, padding, groups, t_in, precision, interpret):
     gp, e_g = plan
     O = groups // gp
     E = e_g * stride
-    f_pad = max(0, _cdiv(k - 1 - padding, stride)) + e_g - 1
+    f_pad = max(0, _cdiv(dilation * (k - 1) - padding, stride)) + e_g - 1
     j_taps = (E - 1 + padding + stride * f_pad) // (stride * e_g) + 1
     taps_dx = _pack_dx_taps(w, gp, e_g, stride, padding, groups, f_pad,
-                            j_taps)
+                            j_taps, dilation)
     v_need = _cdiv(t_in, E)
     tile = _pick_tile(v_need)
     total = _pad_rows_for(t_out, f_pad, e_g, tile, v_need, j_taps)
@@ -466,7 +507,8 @@ def _dw_kernel(x_ref, g_ref, out_ref, scr, sem, *, tile, j_taps,
         out_ref[0, j] += jax.lax.dot_general(xs[j:j + tile], g, dn, **kw)
 
 
-def _dw_impl(x, gbar, w_shape, stride, padding, groups, precision, interpret):
+def _dw_impl(x, gbar, w_shape, stride, padding, groups, dilation,
+             precision, interpret):
     """dw (cout, cg, K) from x (N, T_in, cin) and gbar (N, T_out, cout).
 
     Accumulates the gradient in the packed fwd-tap layout (x tiles stay
@@ -478,9 +520,9 @@ def _dw_impl(x, gbar, w_shape, stride, padding, groups, precision, interpret):
     _, t_out, cout = gbar.shape
     cout_w, cg, k = w_shape
     gp, s_out, n_out, slab, lo_mm = _plan(cin, cout, k, stride, groups,
-                                          padding)
+                                          padding, dilation)
     S = stride * s_out
-    p_f, d0, j_taps = _geometry(k, stride, s_out, padding)
+    p_f, d0, j_taps = _geometry(k, stride, s_out, padding, dilation)
     v_rows = _cdiv(t_out, s_out)
     tile = _pick_tile(v_rows)
     n_tiles = _cdiv(v_rows, tile)
@@ -522,7 +564,7 @@ def _dw_impl(x, gbar, w_shape, stride, padding, groups, precision, interpret):
     )(x_ph, g4)
     taps_grad = taps_grad[:, :, :lx_real, :]
 
-    if groups == 1:
+    if groups == 1 and s_out == 1 and dilation == 1:
         # (O, J, S*cin, lo) -> w_ext (cout, cg, J*S) -> slice d0..d0+K
         lo = lo_mm
         wg = taps_grad.reshape(n_out, j_taps, S, cg, lo) \
@@ -535,7 +577,7 @@ def _dw_impl(x, gbar, w_shape, stride, padding, groups, precision, interpret):
     # dw[m] = sum_r diag[j(m,r), p(m,r), r]
     mg = np.arange(k)[:, None]
     rg = np.arange(s_out)[None, :]
-    lin = S * 0 + (stride * rg + mg + d0)        # (K, s_out)
+    lin = stride * rg + dilation * mg + d0       # (K, s_out)
     j_idx = jnp.asarray(lin // S)
     p_idx = jnp.asarray(lin % S)
     r_idx = jnp.asarray(np.broadcast_to(rg, (k, s_out)))
@@ -552,28 +594,30 @@ def _dw_impl(x, gbar, w_shape, stride, padding, groups, precision, interpret):
 # public op with custom VJP
 # -----------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _pallas_grouped_conv(x, w, b, stride, padding, groups, slope, precision,
-                         interpret):
-    return _fwd_impl(x, w, b, stride, padding, groups, slope, precision,
-                     interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _pallas_grouped_conv(x, w, b, stride, padding, groups, dilation, slope,
+                         precision, interpret):
+    return _fwd_impl(x, w, b, stride, padding, groups, dilation, slope,
+                     precision, interpret)
 
 
-def _pgc_fwd(x, w, b, stride, padding, groups, slope, precision, interpret):
-    out = _fwd_impl(x, w, b, stride, padding, groups, slope, precision,
-                    interpret)
+def _pgc_fwd(x, w, b, stride, padding, groups, dilation, slope, precision,
+             interpret):
+    out = _fwd_impl(x, w, b, stride, padding, groups, dilation, slope,
+                    precision, interpret)
     return out, (x, w, out if slope is not None else None)
 
 
-def _pgc_bwd(stride, padding, groups, slope, precision, interpret, res, g):
+def _pgc_bwd(stride, padding, groups, dilation, slope, precision, interpret,
+             res, g):
     x, w, out = res
     if slope is not None:
         g = g * jnp.where(out > 0, 1.0, slope)
     db = jnp.sum(g, axis=(0, 1))
-    dx = _dx_impl(g, w, stride, padding, groups, x.shape[1], precision,
-                  interpret)
-    dw = _dw_impl(x, g, w.shape, stride, padding, groups, precision,
-                  interpret)
+    dx = _dx_impl(g, w, stride, padding, groups, dilation, x.shape[1],
+                  precision, interpret)
+    dw = _dw_impl(x, g, w.shape, stride, padding, groups, dilation,
+                  precision, interpret)
     return dx, dw, db
 
 
@@ -581,12 +625,12 @@ _pallas_grouped_conv.defvjp(_pgc_fwd, _pgc_bwd)
 
 
 def eligible(cin: int, cout: int, k: int, stride: int, groups: int,
-             t_in: int, padding: int) -> bool:
+             t_in: int, padding: int, dilation: int = 1) -> bool:
     """Shapes the kernel supports with sane MXU utilization."""
     if cin % groups or cout % groups:
         return False
     cg, cog = cin // groups, cout // groups
-    t_out = (t_in + 2 * padding - k) // stride + 1
+    t_out = (t_in + 2 * padding - dilation * (k - 1) - 1) // stride + 1
     if cg < 8 or cog < 8 or t_out < 8:
         return False
     if groups == 1:
@@ -598,9 +642,106 @@ def eligible(cin: int, cout: int, k: int, stride: int, groups: int,
     return True
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _pallas_conv_transpose(x, w, b, stride, padding, slope, precision,
+                           interpret):
+    return _convt_fwd_impl(x, w, b, stride, padding, slope, precision,
+                           interpret)
+
+
+def _convt_fwd_impl(x, w, b, stride, padding, slope, precision, interpret):
+    n, t_in, cin = x.shape
+    cin_w, cout, k = w.shape
+    t_out = (t_in - 1) * stride + k - 2 * padding
+    out = _dx_impl(x, w, stride, padding, 1, 1, t_out, precision, interpret)
+    if b is not None:
+        out = out + b[None, None, :]
+    if slope is not None:
+        out = jnp.where(out > 0, out, slope * out)
+    return out
+
+
+def _pct_fwd(x, w, b, stride, padding, slope, precision, interpret):
+    out = _convt_fwd_impl(x, w, b, stride, padding, slope, precision,
+                          interpret)
+    return out, (x, w, out if slope is not None else None)
+
+
+def _pct_bwd(stride, padding, slope, precision, interpret, res, g):
+    x, w, out = res
+    if slope is not None:
+        g = g * jnp.where(out > 0, 1.0, slope)
+    db = jnp.sum(g, axis=(0, 1))
+    # grad wrt x: the plain strided conv of g with the same weight view
+    dx = _fwd_impl(g, w, None, stride, padding, 1, 1, None, precision,
+                   interpret)
+    # grad wrt w: the conv weight-gradient with (input, cotangent) swapped
+    dw = _dw_impl(g, x, w.shape, stride, padding, 1, 1, precision, interpret)
+    return dx, dw, db
+
+
+_pallas_conv_transpose.defvjp(_pct_fwd, _pct_bwd)
+
+
+def convt_eligible(cin: int, cout: int, k: int, stride: int,
+                   t_in: int, padding: int) -> bool:
+    """ConvTranspose1d shapes the kernel path supports (the fwd is the
+    strided-conv dx program; its plan must exist and stay lane-legal)."""
+    if cin < 8 or cout < 8 or t_in < 8:
+        return False
+    if _plan_dx(cout, cin, k, stride, 1, padding) is None:
+        return False
+    # the bwd passes run the fwd/dw programs of the hypothetical conv
+    # cout<-cin; their plans always exist when the dims are >= 8
+    return True
+
+
+def conv_transpose1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
+                         b: Optional[jnp.ndarray] = None, *, stride: int = 1,
+                         padding: int = 0,
+                         slope: Optional[float] = None,
+                         precision: str = 'default',
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """ConvTranspose1d on (N, T, C) with optional fused bias + leaky_relu.
+
+    ``w`` is (C_in, C_out, K) — the torch ConvTranspose1d layout shared with
+    :class:`models.vocoders.hifi_gan.WNConvTranspose1d`. T_out =
+    (T_in-1)*stride + K - 2*padding. A transposed conv IS the input-gradient
+    of the mirror strided conv, so the fwd here runs `_dx_impl`'s
+    output-folded program (per output phase r, taps at m ≡ (r+pad) mod s),
+    and the VJP reuses `_fwd_impl` (dx) and `_dw_impl` (dw) with the roles
+    of input and cotangent swapped. Dispatches to Pallas on TPU for
+    eligible geometries; XLA conv_transpose otherwise.
+    """
+    if interpret is None:
+        interpret = False
+        use_kernel = jax.default_backend() == 'tpu'
+    else:
+        use_kernel = True
+    n, t_in, cin = x.shape
+    cin_w, cout, k = w.shape
+    if use_kernel and convt_eligible(cin, cout, k, stride, t_in, padding):
+        return _pallas_conv_transpose(x, w, b, stride, padding, slope,
+                                      precision, interpret)
+    # XLA fallback: lhs-dilated conv == transposed conv
+    out = jax.lax.conv_general_dilated(
+        x, jnp.flip(w, axis=2).transpose(2, 0, 1),   # (K, C_in, C_out) HIO
+        window_strides=(1,), padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=('NHC', 'HIO', 'NHC'),
+        precision=(jax.lax.Precision.HIGHEST if precision == 'highest'
+                   else jax.lax.Precision.DEFAULT),
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b[None, None, :]
+    if slope is not None:
+        out = jnp.where(out > 0, out, slope * out)
+    return out
+
+
 def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
                        b: Optional[jnp.ndarray] = None, *, stride: int = 1,
-                       padding: int = 0, groups: int = 1,
+                       padding: int = 0, groups: int = 1, dilation: int = 1,
                        slope: Optional[float] = None,
                        precision: str = 'default',
                        interpret: Optional[bool] = None) -> jnp.ndarray:
@@ -620,13 +761,15 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
         use_kernel = True
     n, t_in, cin = x.shape
     cout, cg, k = w.shape
-    if use_kernel and eligible(cin, cout, k, stride, groups, t_in, padding):
-        return _pallas_grouped_conv(x, w, b, stride, padding, groups, slope,
-                                    precision, interpret)
+    if use_kernel and eligible(cin, cout, k, stride, groups, t_in, padding,
+                               dilation):
+        return _pallas_grouped_conv(x, w, b, stride, padding, groups,
+                                    dilation, slope, precision, interpret)
     # XLA fallback (NTC conv)
     out = jax.lax.conv_general_dilated(
         x, w.transpose(2, 1, 0), window_strides=(stride,),
-        padding=[(padding, padding)], dimension_numbers=('NHC', 'HIO', 'NHC'),
+        padding=[(padding, padding)], rhs_dilation=(dilation,),
+        dimension_numbers=('NHC', 'HIO', 'NHC'),
         feature_group_count=groups,
         precision=(jax.lax.Precision.HIGHEST if precision == 'highest'
                    else jax.lax.Precision.DEFAULT),

@@ -589,23 +589,40 @@ class Processor:
     @staticmethod
     def extract_features(in_dir: str, out_dir: str, batch_size: int = 16,
                          pad_seconds: float = 10.0, sample_rate: int = 22050,
-                         precision: str = 'bf16x3'):
-        """NEW (TPU path): batched on-device resample + fused log-mel.
+                         precision: str = 'bf16x3', wire: str = 'bf16'):
+        """NEW (TPU path): batched on-device resample + RMS-normalize +
+        fused log-mel.
 
         The host only PARSES wav files (cheap memcpy decode; native C++
-        pthread pipeline when built) — rational resampling to ``sample_rate``
-        runs on the device as one Kaiser-polyphase matmul
-        (`ops.resample.resample_poly`, bit-parity with the host resampler),
-        fused into the same jitted program as the Pallas log-mel. The host
-        pipeline is DOUBLE-BUFFERED against the device: a producer thread
-        decodes batch N+1 while the device computes batch N and the main
-        thread writes batch N-1's features. Round-1 resampled on the 1-core
-        host and was host-bound at ~87 utt/s with the device 70x idle.
-        Writes per-utterance (80, T) .npy features at settings.py defaults —
+        pthread pipeline when built) — rational resampling to ``sample_rate``,
+        per-row RMS normalization (-23 dBFS, masked to each row's true
+        length), and the Pallas log-mel all run in one jitted device program
+        (`ops.resample.resample_poly` / `rms_normalize`). The host pipeline
+        is DOUBLE-BUFFERED against the device: a producer thread decodes
+        batch N+1 while the device computes batch N and the main thread
+        writes batch N-1's features. Round-1 resampled on the 1-core host
+        and was host-bound at ~87 utt/s with the device 70x idle. Writes
+        per-utterance (80, T) .npy f32 features at settings.py defaults —
         BASELINE config 1 with ALL DSP on-chip.
+
+        ``wire`` ('bf16' | 'f32') is the device->host feature transfer dtype.
+        The tunnel's D2H link is the e2e bottleneck (~40 MB/s); 'bf16'
+        halves the dominant cost for ~3 decimal digits of log-mel precision
+        (|err| <= ~0.004 of the [-1, 1] normalized range); features are
+        re-expanded to f32 before np.save.
 
         Files are grouped by source sample rate (header-only reads) so each
         group compiles one static-shape device program.
+
+        Approximations vs the reference's resample-then-pad pipeline
+        (`/root/reference/pytorch_sound/scripts/preprocess.py:404-455`):
+        the end-of-utterance reflect-pad context is mirrored at the SOURCE
+        rate before the on-device resample (not after, as the reference
+        does), and a file that exactly fills ``pad_seconds`` gets no
+        reflected context at all — the final half-window of mel frames can
+        deviate slightly in both cases. RMS gain is computed over the row
+        content including the small reflected tail (<=n_fft/2 samples), a
+        <0.2% gain bias for utterances >= 1 s.
         """
         import queue
         import threading

@@ -130,3 +130,119 @@ def test_weight_norm_grads_flow_through_kernel():
     gv, gg = jax.grad(loss, argnums=(0, 1))(v, gsc)
     assert np.isfinite(np.asarray(gv)).all() and float(jnp.abs(gv).max()) > 0
     assert np.isfinite(np.asarray(gg)).all() and float(jnp.abs(gg).max()) > 0
+
+
+# ---------------------------------------------------------------------------
+# dilation, dense output folding, strided dense dx, transposed conv
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('ci,co,k,s,g,d,t', [
+    (64, 64, 3, 1, 1, 3, 256),     # generator resblock geometry
+    (32, 32, 7, 1, 1, 5, 300),
+    (16, 16, 11, 1, 1, 3, 256),
+    (128, 256, 41, 2, 8, 2, 256),  # grouped + dilated
+])
+def test_dilated_conv_parity(ci, co, k, s, g, d, t):
+    pad = d * (k - 1) // 2
+    x, w, b = _make(ci, co, k, g, t, seed=5)
+
+    def ref(x, w, b):
+        out = jax.lax.conv_general_dilated(
+            x, w.transpose(2, 1, 0), window_strides=(s,), padding=[(pad, pad)],
+            rhs_dilation=(d,), dimension_numbers=('NHC', 'HIO', 'NHC'),
+            feature_group_count=g, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        out = out + b[None, None, :]
+        return jnp.where(out > 0, out, SLOPE * out)
+
+    out = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad, groups=g,
+                             dilation=d, slope=SLOPE, precision='highest',
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(x, w, b)),
+                               atol=2e-5)
+
+    gp = jax.grad(lambda *a: jnp.sum(jnp.sin(grouped_conv1d_ntc(
+        *a, stride=s, padding=pad, groups=g, dilation=d, slope=SLOPE,
+        precision='highest', interpret=True))), argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                  argnums=(0, 1, 2))(x, w, b)
+    for name, a, r in zip(('dx', 'dw', 'db'), gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=3e-4,
+                                   err_msg=name)
+
+
+@pytest.mark.parametrize('ci,co,k,s,t', [
+    (64, 128, 16, 8, 256),   # classic dense dx at stride>1 (o_dx>1 lanes)
+    (128, 128, 5, 2, 128),
+    (80, 128, 7, 1, 96),     # dense output folding (s_out=4, lo=512)
+])
+def test_dense_folded_vjp(ci, co, k, s, t):
+    pad = (k - 1) // 2
+    x, w, b = _make(ci, co, k, 1, t, seed=6)
+    gp = jax.grad(lambda *a: jnp.sum(jnp.sin(grouped_conv1d_ntc(
+        *a, stride=s, padding=pad, slope=SLOPE, precision='highest',
+        interpret=True))), argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(_xla_ref(*a, s, pad, 1))),
+                  argnums=(0, 1, 2))(x, w, b)
+    for name, a, r in zip(('dx', 'dw', 'db'), gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=3e-4,
+                                   err_msg=name)
+
+
+@pytest.mark.parametrize('ci,co,k,s,p,t', [
+    (128, 64, 16, 8, 4, 32),   # HiFi-GAN upsampler geometries
+    (64, 32, 16, 8, 4, 64),
+    (32, 16, 4, 2, 1, 128),
+])
+def test_conv_transpose_parity(ci, co, k, s, p, t):
+    import pytorch_sound_tpu.ops.pallas.grouped_conv as gc
+    from pytorch_sound_tpu.ops.pallas.grouped_conv import (
+        conv_transpose1d_ntc, convt_eligible)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, t, ci), dtype=np.float32) * 0.5)
+    w = jnp.asarray(rng.standard_normal((ci, co, k), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((co,), dtype=np.float32) * 0.1)
+    assert convt_eligible(ci, co, k, s, t, p)
+
+    def pal(x, w, b):
+        return conv_transpose1d_ntc(x, w, b, stride=s, padding=p, slope=SLOPE,
+                                    precision='highest', interpret=True)
+
+    def ref(x, w, b):
+        ce = gc.convt_eligible
+        gc.convt_eligible = lambda *a: False
+        try:
+            return conv_transpose1d_ntc(x, w, b, stride=s, padding=p,
+                                        slope=SLOPE, precision='highest',
+                                        interpret=False)
+        finally:
+            gc.convt_eligible = ce
+
+    np.testing.assert_allclose(np.asarray(pal(x, w, b)),
+                               np.asarray(ref(x, w, b)), atol=2e-5)
+    gp = jax.grad(lambda *a: jnp.sum(jnp.sin(pal(*a))), argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))), argnums=(0, 1, 2))(x, w, b)
+    for name, a, r in zip(('dx', 'dw', 'db'), gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=3e-4,
+                                   err_msg=name)
+
+
+def test_conv_transpose_golden_torch():
+    """Bit-level golden vs torch ConvTranspose1d on the v2 upsampler."""
+    torch = pytest.importorskip('torch')
+    ci, co, k, s, p, t = 128, 64, 16, 8, 4, 32
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, t, ci)).astype(np.float32) * 0.5
+    w = rng.standard_normal((ci, co, k)).astype(np.float32) * 0.1
+    b = rng.standard_normal((co,)).astype(np.float32)
+    tm = torch.nn.ConvTranspose1d(ci, co, k, stride=s, padding=p)
+    with torch.no_grad():
+        tm.weight.copy_(torch.from_numpy(w))
+        tm.bias.copy_(torch.from_numpy(b))
+    ref = tm(torch.from_numpy(x.transpose(0, 2, 1))).detach().numpy()
+    from pytorch_sound_tpu.ops.pallas.grouped_conv import conv_transpose1d_ntc
+    out = conv_transpose1d_ntc(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                               stride=s, padding=p, precision='highest',
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), ref,
+                               atol=1e-5)
