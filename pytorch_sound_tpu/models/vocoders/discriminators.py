@@ -117,6 +117,14 @@ class ScaleDiscriminator(nn.Module):
 
     width: float = 1.0
     precision: str = 'default'
+    # Per-layer conv backend (7 body layers + conv_post). 'auto' = Pallas on
+    # every eligible TPU geometry; 'xla' pins a layer to XLA's NTC conv.
+    # Measured on v5e: the Pallas VJP wins on the wide-T/narrow-C front
+    # layers, while XLA is already near roofline on the deep wide-channel
+    # grouped stack — so the default routes front layers to the kernel and
+    # the rest to XLA (see docs/KERNELS.md).
+    backends: Sequence[str] = ('auto', 'auto', 'auto',
+                               'xla', 'xla', 'xla', 'xla', 'xla')
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -140,10 +148,12 @@ class ScaleDiscriminator(nn.Module):
         for i, (ic, oc, k, s, g, p) in enumerate(layout):
             x = WNConv1d(ic, oc, k, stride=s, padding=p, groups=g,
                          precision=self.precision, data_format='NTC',
-                         fused_slope=0.1, name='conv_%d' % i)(x)
+                         fused_slope=0.1, backend=self.backends[i],
+                         name='conv_%d' % i)(x)
             features.append(x)
         x = WNConv1d(w(1024), 1, 3, padding=1, precision=self.precision,
-                     data_format='NTC', name='conv_post')(x)
+                     data_format='NTC', backend=self.backends[7],
+                     name='conv_post')(x)
         features.append(x)
         return x.reshape(n, -1), features
 
@@ -173,6 +183,7 @@ class MultiScaleDiscriminator(nn.Module):
     n_scales: int = 3
     width: float = 1.0
     precision: str = 'default'
+    backends: Sequence[str] = ScaleDiscriminator.backends
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -185,6 +196,7 @@ class MultiScaleDiscriminator(nn.Module):
                                 padding=((2, 2),)).swapaxes(1, 2)
             outs.append(ScaleDiscriminator(width=self.width,
                                            precision=self.precision,
+                                           backends=tuple(self.backends),
                                            name='scale_%d' % i)(x))
         return outs
 

@@ -59,6 +59,7 @@ class WNConv1d(nn.Module):
     precision: str = 'auto'
     data_format: str = 'NCT'
     fused_slope: float = None
+    backend: str = 'auto'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -74,12 +75,12 @@ class WNConv1d(nn.Module):
             weight = self.param('weight', _normal_init(), shape)
         bias = self.param('bias', nn.initializers.zeros, (self.out_channels,))
         if self.data_format == 'NTC':
-            assert self.dilation == 1, 'NTC path is dilation-1 only'
             from pytorch_sound_tpu.ops.pallas.grouped_conv import \
                 grouped_conv1d_ntc
             return grouped_conv1d_ntc(
                 x, weight, bias, stride=self.stride, padding=self.padding,
-                groups=self.groups, slope=self.fused_slope,
+                groups=self.groups, dilation=self.dilation,
+                slope=self.fused_slope, backend=self.backend,
                 precision=('highest' if self.precision == 'highest'
                            else 'default'))
         out = conv1d(x, weight, bias, stride=self.stride,
@@ -102,6 +103,8 @@ class WNConvTranspose1d(nn.Module):
     stride: int
     padding: int = 0
     use_weight_norm: bool = True
+    precision: str = 'auto'
+    data_format: str = 'NCT'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -115,6 +118,13 @@ class WNConvTranspose1d(nn.Module):
         else:
             weight = self.param('weight', _normal_init(), shape)
         bias = self.param('bias', nn.initializers.zeros, (self.out_channels,))
+        if self.data_format == 'NTC':
+            from pytorch_sound_tpu.ops.pallas.grouped_conv import \
+                conv_transpose1d_ntc
+            return conv_transpose1d_ntc(
+                x, weight, bias, stride=self.stride, padding=self.padding,
+                precision=('highest' if self.precision == 'highest'
+                           else 'default'))
         return conv_transpose1d(x, weight, bias, stride=self.stride,
                                 padding=self.padding)
 
@@ -126,19 +136,29 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
     use_weight_norm: bool = True
+    precision: str = 'auto'
+    data_format: str = 'NCT'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ntc = self.data_format == 'NTC'
         for j, d in enumerate(self.dilation):
             xt = nn.leaky_relu(x, 0.1)
+            # NTC: the mid-block leaky_relu fuses into convs1's epilogue
             xt = WNConv1d(self.channels, self.channels, self.kernel_size,
                           dilation=d, padding=get_padding(self.kernel_size, d),
                           use_weight_norm=self.use_weight_norm,
+                          precision=self.precision,
+                          data_format=self.data_format,
+                          fused_slope=0.1 if ntc else None,
                           name='convs1_%d' % j)(xt)
-            xt = nn.leaky_relu(xt, 0.1)
+            if not ntc:
+                xt = nn.leaky_relu(xt, 0.1)
             xt = WNConv1d(self.channels, self.channels, self.kernel_size,
                           dilation=1, padding=get_padding(self.kernel_size, 1),
                           use_weight_norm=self.use_weight_norm,
+                          precision=self.precision,
+                          data_format=self.data_format,
                           name='convs2_%d' % j)(xt)
             x = xt + x
         return x
@@ -151,6 +171,8 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3)
     use_weight_norm: bool = True
+    precision: str = 'auto'
+    data_format: str = 'NCT'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -159,6 +181,8 @@ class ResBlock2(nn.Module):
             xt = WNConv1d(self.channels, self.channels, self.kernel_size,
                           dilation=d, padding=get_padding(self.kernel_size, d),
                           use_weight_norm=self.use_weight_norm,
+                          precision=self.precision,
+                          data_format=self.data_format,
                           name='convs_%d' % j)(xt)
             x = xt + x
         return x
@@ -176,14 +200,24 @@ class Generator(nn.Module):
     resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
     in_channels: int = 80
     use_weight_norm: bool = True
+    precision: str = 'auto'
+    data_format: str = 'NCT'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         num_kernels = len(self.resblock_kernel_sizes)
         res_cls = ResBlock1 if self.resblock == '1' else ResBlock2
+        ntc = self.data_format == 'NTC'
+        if ntc:
+            # channels-last end-to-end: one transpose in, one out; every
+            # conv/convT rides the Pallas folded-matmul kernels on TPU
+            # (ops/pallas/grouped_conv.py) — the training-fwd fast path.
+            # Param tree is identical to NCT, so checkpoints interoperate.
+            x = x.swapaxes(1, 2)
 
         x = WNConv1d(self.in_channels, self.upsample_initial_channel, 7,
                      padding=3, use_weight_norm=self.use_weight_norm,
+                     precision=self.precision, data_format=self.data_format,
                      name='conv_pre')(x)
         ch = self.upsample_initial_channel
         for i, (u, k) in enumerate(zip(self.upsample_rates,
@@ -191,6 +225,8 @@ class Generator(nn.Module):
             x = nn.leaky_relu(x, 0.1)
             x = WNConvTranspose1d(ch, ch // 2, k, u, padding=(k - u) // 2,
                                   use_weight_norm=self.use_weight_norm,
+                                  precision=self.precision,
+                                  data_format=self.data_format,
                                   name='ups_%d' % i)(x)
             ch //= 2
             xs = None
@@ -198,12 +234,17 @@ class Generator(nn.Module):
                                              self.resblock_dilation_sizes)):
                 block = res_cls(ch, rk, tuple(rd),
                                 use_weight_norm=self.use_weight_norm,
+                                precision=self.precision,
+                                data_format=self.data_format,
                                 name='resblocks_%d' % (i * num_kernels + j))
                 xs = block(x) if xs is None else xs + block(x)
             x = xs / num_kernels
         x = nn.leaky_relu(x)             # default 0.01 slope, as the reference
         x = WNConv1d(ch, 1, 7, padding=3, use_weight_norm=self.use_weight_norm,
+                     precision=self.precision, data_format=self.data_format,
                      name='conv_post')(x)
+        if ntc:
+            x = x.swapaxes(1, 2)
         return jnp.tanh(x)
 
 
@@ -344,6 +385,7 @@ def hifi_gan_v1():
         'resblock_kernel_sizes': (3, 7, 11),
         'resblock_dilation_sizes': ((1, 3, 5), (1, 3, 5), (1, 3, 5)),
         'use_weight_norm': True,
+        'data_format': 'NCT',
     }
 
 
@@ -357,6 +399,7 @@ def hifi_gan_v2():
         'resblock_kernel_sizes': (3, 7, 11),
         'resblock_dilation_sizes': ((1, 3, 5), (1, 3, 5), (1, 3, 5)),
         'use_weight_norm': True,
+        'data_format': 'NCT',
     }
 
 
@@ -370,4 +413,5 @@ def hifi_gan_v3():
         'resblock_kernel_sizes': (3, 5, 7),
         'resblock_dilation_sizes': ((1, 2), (2, 6), (3, 12)),
         'use_weight_norm': True,
+        'data_format': 'NCT',
     }

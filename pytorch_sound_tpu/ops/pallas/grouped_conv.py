@@ -701,6 +701,7 @@ def conv_transpose1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
                          padding: int = 0,
                          slope: Optional[float] = None,
                          precision: str = 'default',
+                         backend: str = 'auto',
                          interpret: Optional[bool] = None) -> jnp.ndarray:
     """ConvTranspose1d on (N, T, C) with optional fused bias + leaky_relu.
 
@@ -718,6 +719,8 @@ def conv_transpose1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
         use_kernel = jax.default_backend() == 'tpu'
     else:
         use_kernel = True
+    if backend == 'xla':
+        use_kernel = False
     n, t_in, cin = x.shape
     cin_w, cout, k = w.shape
     if use_kernel and convt_eligible(cin, cout, k, stride, t_in, padding):
@@ -744,6 +747,7 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
                        padding: int = 0, groups: int = 1, dilation: int = 1,
                        slope: Optional[float] = None,
                        precision: str = 'default',
+                       backend: str = 'auto',
                        interpret: Optional[bool] = None) -> jnp.ndarray:
     """Grouped conv1d on (N, T, C) with optional fused bias + leaky_relu.
 
@@ -753,12 +757,20 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
     Pallas interpreter (parity tests on CPU). ``w`` is (C_out, C_in/groups,
     K) — the torch layout shared with
     :class:`models.vocoders.hifi_gan.WNConv1d`.
+
+    ``backend``: 'auto' uses the kernel on every eligible TPU geometry;
+    'xla' forces the XLA conv (still NTC — useful where XLA's own conv is
+    already near roofline, e.g. wide-channel grouped stacks); 'pallas'
+    forces the kernel for eligible shapes even off-TPU is not supported —
+    it still requires eligibility and a TPU (or ``interpret=True``).
     """
     if interpret is None:
         interpret = False
         use_kernel = jax.default_backend() == 'tpu'
     else:
         use_kernel = True
+    if backend == 'xla':
+        use_kernel = False
     n, t_in, cin = x.shape
     cout, cg, k = w.shape
     if use_kernel and eligible(cin, cout, k, stride, groups, t_in, padding,

@@ -212,3 +212,58 @@ def test_streaming_decode_exact_with_zero_pad_edges():
     err = np.abs(streamed - full)
     # everything but the outer 10 frames each side: exact (incl. all seams)
     assert float(err[..., 10 * 256:-10 * 256].max()) < 1e-6
+
+
+def test_generator_ntc_parity_with_nct():
+    """The channels-last (NTC) generator — whose convs ride the Pallas
+    grouped-conv kernels on TPU (XLA NTC convs here on CPU) — produces the
+    same waveform and the same parameter gradients as the NCT reference
+    layout from an identical param tree (one transpose in/out; param names
+    and shapes are layout-invariant)."""
+    from pytorch_sound_tpu.models import ARCH_CONFIG_REGISTRY
+    from pytorch_sound_tpu.utils.training import parse_model_kwargs
+
+    for arch in ('hifi_gan_v2', 'hifi_gan_v3'):
+        cfg = parse_model_kwargs(Generator, **ARCH_CONFIG_REGISTRY[arch]())
+        cfg.pop('data_format', None)
+        gen_nct = Generator(**cfg)
+        gen_ntc = Generator(**cfg, data_format='NTC')
+        rng = np.random.default_rng(3)
+        mel = jnp.asarray(rng.standard_normal((2, 80, 19)).astype(np.float32))
+        params = gen_nct.init(jax.random.PRNGKey(0), mel)
+        o1 = gen_nct.apply(params, mel)
+        o2 = gen_ntc.apply(params, mel)
+        assert o1.shape == o2.shape
+        assert float(jnp.abs(o1 - o2).max()) < 1e-5, arch
+
+        def loss(p, g):
+            return jnp.sum(jnp.abs(g.apply(p, mel)))
+        g1 = jax.grad(lambda p: loss(p, gen_nct))(params)
+        g2 = jax.grad(lambda p: loss(p, gen_ntc))(params)
+        rel = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()
+                               / (jnp.abs(a).max() + 1e-9)), g1, g2)
+        assert max(jax.tree_util.tree_leaves(rel)) < 1e-4, arch
+
+
+def test_msd_backend_mask_parity():
+    """Per-layer backend routing ('xla' vs 'auto') in the MSD changes only
+    the execution path, never the math (CPU: both are XLA NTC convs; the
+    field must thread through without touching params or outputs)."""
+    import pytorch_sound_tpu.models.vocoders.discriminators  # noqa: F401
+    msd_a = build_model('hifi_gan_msd_small')
+    msd_b = build_model('hifi_gan_msd_small',
+                        extra_kwargs=dict())
+    rng = np.random.default_rng(5)
+    wav = jnp.asarray(rng.standard_normal((2, 1, 2048)).astype(np.float32))
+    params = msd_a.init(jax.random.PRNGKey(1), wav)
+    from pytorch_sound_tpu.models.vocoders.discriminators import (
+        MultiScaleDiscriminator)
+    msd_all = MultiScaleDiscriminator(n_scales=2, width=0.0625,
+                                      backends=('auto',) * 8)
+    msd_xla = MultiScaleDiscriminator(n_scales=2, width=0.0625,
+                                      backends=('xla',) * 8)
+    o1 = msd_all.apply(params, wav)
+    o2 = msd_xla.apply(params, wav)
+    for (s1, f1), (s2, f2) in zip(o1, o2):
+        assert float(jnp.abs(s1 - s2).max()) < 1e-5
