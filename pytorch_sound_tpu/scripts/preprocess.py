@@ -634,7 +634,8 @@ class Processor:
         from pytorch_sound_tpu.ops.mel import log_mel_spectrogram
         from pytorch_sound_tpu.ops.pallas.logmel import fused_log_mel
         from pytorch_sound_tpu.ops.resample import (resample_out_len,
-                                                    resample_poly)
+                                                    resample_poly,
+                                                    rms_normalize)
 
         wav_list = sorted(glob.glob(os.path.join(in_dir, '**', '*.wav'),
                                     recursive=True))
@@ -660,10 +661,15 @@ class Processor:
             pad_len = int(pad_seconds * src_sr)
 
             @jax.jit
-            def run(x, _src_sr=src_sr):
+            def run(x, lengths, _src_sr=src_sr):
                 if x.dtype == jnp.int16:   # int16 wire: half the H2D bytes
                     x = x.astype(jnp.float32) * (1.0 / 32768.0)
                 y = resample_poly(x, _src_sr, sample_rate)
+                # ffmpeg-normalize RMS parity (-23 dBFS), masked to each
+                # row's true resampled length; the reflected tail
+                # (<= n_fft/2 samples) adds a <0.2% gain bias for >= 1 s
+                # utterances (see the docstring)
+                y = rms_normalize(y, lengths=lengths)
                 if on_tpu:
                     return fused_log_mel(y, *args, precision=precision)
                 return log_mel_spectrogram(y, *args)
@@ -737,7 +743,8 @@ class Processor:
                 batch, lens, names = item
                 if batch is None:
                     continue
-                mel_dev = run(jnp.asarray(batch))    # async dispatch
+                mel_dev = run(jnp.asarray(batch),    # async dispatch
+                              jnp.asarray(lens, jnp.int32))
                 if pending is not None:
                     write_out(*pending)              # overlaps device compute
                     bar.update(len(pending[2]))

@@ -53,7 +53,8 @@ def get_loadable_checkpoint(checkpoint: Dict[str, Any]) -> Dict[str, Any]:
             for k, v in checkpoint.items()}
 
 
-def enable_compilation_cache(cache_dir: str = None):
+def enable_compilation_cache(cache_dir: str = None,
+                             strip_locations: bool = True):
     """Turn on JAX's persistent XLA compilation cache.
 
     The full HiFi-GAN GAN step (generator + MPD + MSD in one program) costs
@@ -61,6 +62,15 @@ def enable_compilation_cache(cache_dir: str = None):
     the compiled executable in seconds. Called by every training example's
     main(). Override the location with $PYTORCH_SOUND_TPU_CACHE or the
     ``cache_dir`` argument.
+
+    ``strip_locations`` (default True) removes Python source locations from
+    lowered MLIR. Pallas/Mosaic kernels serialize their MLIR — including the
+    *call site's* file/line — into the HLO custom_call payload, so the same
+    model jitted from two different scripts (or after an unrelated edit
+    shifting line numbers) hashes to two different cache keys and recompiles
+    from scratch. Verified on v5e: with locations stripped the lowered bytes
+    are identical across caller files. Cost: XLA error messages lose Python
+    tracebacks; pass False when debugging a lowering.
     """
     import os
     import jax
@@ -68,6 +78,10 @@ def enable_compilation_cache(cache_dir: str = None):
         'PYTORCH_SOUND_TPU_CACHE',
         os.path.expanduser('~/.cache/pytorch_sound_tpu/xla'))
     try:
+        if strip_locations:
+            jax.config.update('jax_include_full_tracebacks_in_locations',
+                              False)
+            jax.config.update('jax_traceback_in_locations_limit', 0)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

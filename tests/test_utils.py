@@ -193,3 +193,24 @@ def test_get_f0_harmonic_complex():
     voiced = f0[f0 > 0]
     assert len(voiced) > 0.9 * len(f0)
     assert np.abs(np.median(voiced) - f) / f < 0.01
+
+
+def test_enable_compilation_cache_strips_locations(tmp_path):
+    """Pallas/Mosaic kernels serialize MLIR *call-site locations* into the
+    HLO custom_call payload, so identical models jitted from different
+    scripts produce different persistent-cache keys and recompile from
+    scratch (verified on v5e — the 15-min GAN recompile root cause).
+    enable_compilation_cache must disable location tracking."""
+    import jax
+    from pytorch_sound_tpu.utils.commons import enable_compilation_cache
+    before_tb = jax.config.jax_include_full_tracebacks_in_locations
+    before_lim = jax.config.jax_traceback_in_locations_limit
+    try:
+        enable_compilation_cache(cache_dir=str(tmp_path))
+        assert jax.config.jax_include_full_tracebacks_in_locations is False
+        assert jax.config.jax_traceback_in_locations_limit == 0
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+    finally:
+        jax.config.update('jax_include_full_tracebacks_in_locations',
+                          before_tb)
+        jax.config.update('jax_traceback_in_locations_limit', before_lim)
