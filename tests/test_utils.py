@@ -214,3 +214,38 @@ def test_enable_compilation_cache_strips_locations(tmp_path):
         jax.config.update('jax_include_full_tracebacks_in_locations',
                           before_tb)
         jax.config.update('jax_traceback_in_locations_limit', before_lim)
+
+
+def test_get_f0_dio_stationary_and_sweep():
+    """The dio-style tracker (band-filtered interval analysis + stonemask
+    instantaneous-frequency refinement) matches ground truth within 1% on a
+    stationary tone and 2% on a glissando, and stays unvoiced on noise."""
+    from pytorch_sound_tpu.utils import sound
+    sr, hop = 22050, 256
+    t = np.arange(sr) / sr
+
+    # harmonic-rich 220 Hz (sawtooth-ish: 3 harmonics)
+    f = 220.0
+    wav = sum((1.0 / k) * np.sin(2 * np.pi * k * f * t) for k in range(1, 4))
+    f0 = sound.get_f0_dio(wav.astype(np.float32), hop_length=hop, sr=sr)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.8 * len(f0)
+    assert np.abs(np.median(voiced) - f) / f < 0.01
+
+    # 100 -> 400 Hz exponential sweep
+    f_inst = 100.0 * (4.0 ** t)
+    phase = 2 * np.pi * np.cumsum(f_inst) / sr
+    wav = np.sin(phase).astype(np.float32)
+    f0 = sound.get_f0_dio(wav, hop_length=hop, sr=sr)
+    centers = np.arange(len(f0)) * hop / sr
+    truth = 100.0 * (4.0 ** centers)
+    sel = (f0 > 0) & (centers > 0.1) & (centers < 0.9)
+    assert sel.sum() > 0.6 * ((centers > 0.1) & (centers < 0.9)).sum()
+    rel = np.abs(f0[sel] - truth[sel]) / truth[sel]
+    assert np.median(rel) < 0.02
+
+    # white noise must be mostly unvoiced
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(sr).astype(np.float32)
+    f0 = sound.get_f0_dio(noise, hop_length=hop, sr=sr)
+    assert (f0 > 0).mean() < 0.2
