@@ -60,37 +60,45 @@ def _timeit_chained(step_fn, state0, iters: int = 32, warmup: int = 2) -> float:
 
 
 def _timeit_chained_slope(step_fn, state0, n1: int = 4, n2: int = 12,
-                          warmup: int = 2, trials: int = 2) -> float:
-    """Per-step time from the SLOPE between an n1-step and an n2-step chained
-    run: dt = (T(n2) - T(n1)) / (n2 - n1).
+                          warmup: int = 2, trials: int = 3) -> float:
+    """Per-step time from the SLOPE between n1-step and n2-step chained runs:
+    dt = (T(n2) - T(n1)) / (n2 - n1).
 
     The tunnel's per-dispatch round trip (measured 0.8-27 ms depending on the
     session) appears once per *run*, not per step, so the subtraction cancels
-    it exactly while every step stays a real chained dispatch. Use for big
-    programs that can't ride a device-side fori_loop (compile-size limits).
+    it while every step stays a real chained dispatch. Use for big programs
+    that can't ride a device-side fori_loop (compile-size limits).
+
+    Robustness: the tunnel occasionally injects multi-second stalls into a
+    single run, which can make a naive two-point slope NEGATIVE (observed:
+    a 6-step run slower than the subsequent 18-step run). So run ``trials``
+    interleaved (n1, n2) pairs, take the median of all positive pairwise
+    slopes, and fall back to the best observed T(n2)/n2 (a mild overestimate
+    that still bounds per-step cost) if every slope is non-physical.
     """
     import jax
 
     def run(n, state):
         out = None
+        t0 = time.perf_counter()
         for _ in range(n):
             state, out = step_fn(state)
         float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-        return state
+        return state, time.perf_counter() - t0
 
     state = state0
     for _ in range(warmup):
         state, _ = step_fn(state)
-    best = None
+    t1s, t2s = [], []
     for _ in range(trials):
-        t0 = time.perf_counter()
-        state = run(n1, state)
-        t1 = time.perf_counter()
-        state = run(n2, state)
-        t2 = time.perf_counter()
-        dt = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
-        best = dt if best is None else min(best, dt)
-    return best
+        state, dt1 = run(n1, state)
+        t1s.append(dt1)
+        state, dt2 = run(n2, state)
+        t2s.append(dt2)
+    slopes = [(b - a) / (n2 - n1) for a in t1s for b in t2s if b > a]
+    if slopes:
+        return float(np.median(slopes))
+    return min(t2s) / n2
 
 
 def _timeit_device_loop(step_fn, state0, iters: int = 20) -> float:
@@ -277,7 +285,8 @@ def bench_preprocess_deviceloop(batch: int = 16, seconds: float = 4.0,
 
 
 def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
-                         src_sr: int = 48000, batch: int = 64):
+                         src_sr: int = 48000, batch: int = 64,
+                         wire: str = 'bf16'):
     """Full BASELINE-config-1 path: wav decode (host parse only) ->
     ON-DEVICE Kaiser-polyphase resample -> RMS normalize -> fused log-mel,
     all one jitted program. utterances/sec.
@@ -287,7 +296,9 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
     parse and everything else rides the MXU. Host decode remains
     DOUBLE-BUFFERED against device compute (a producer thread decodes batch
     N+1 while the chip computes batch N), mirroring
-    scripts/preprocess.py extract_features.
+    scripts/preprocess.py extract_features — including its default 'bf16'
+    feature wire (the tunnel's ~40 MB/s D2H fetch of the features is the
+    e2e wall; bf16 halves it at ~3 decimal digits of log-mel precision).
     """
     import queue
     import tempfile
@@ -325,8 +336,10 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
             w_src = w_src.astype(jnp.float32) * (1.0 / 32768.0)
         w = rms_normalize(resample_poly(w_src, src_sr, target_sr))
         if on_tpu:
-            return fused_log_mel(w, *args, precision='bf16x3')
-        return log_mel_spectrogram(w, *args)
+            mel = fused_log_mel(w, *args, precision='bf16x3')
+        else:
+            mel = log_mel_spectrogram(w, *args)
+        return mel.astype(jnp.bfloat16) if wire == 'bf16' else mel
 
     def decode(chunk):
         if native.available():
@@ -348,6 +361,12 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
                 q.put(None)    # always unblock the consumer
 
         threading.Thread(target=producer, daemon=True).start()
+
+        def fetch(dev):
+            # full D2H materialization + the host-side f32 re-expansion the
+            # real extract_features pays before np.save
+            float(np.asarray(dev).astype(np.float32).ravel()[0])
+
         pending = None
         while True:
             item = q.get()
@@ -355,9 +374,9 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
                 break
             dev = mel_fn(jnp.asarray(item))        # async dispatch
             if pending is not None:
-                float(np.asarray(pending).ravel()[0])   # fetch batch N-1
+                fetch(pending)                     # fetch batch N-1
             pending = dev
-        float(np.asarray(pending).ravel()[0])
+        fetch(pending)
 
     dt = _timeit(run_pipeline, warmup=1, iters=3)
     return n_files / dt

@@ -16,7 +16,10 @@ per (batch-group, output-time-tile). Techniques:
   tile with one sublane reshape — no dilated scatter, no HBM round trip;
 - the input (C_in = 2*C_out) arrives as TWO lane planes of C_out channels,
   both packed with the OUTPUT stage's batch-packing factor P = 128 // C_out,
-  multiplied against block-diagonal kron(I_P, W_half) taps;
+  multiplied against block-diagonal kron(I_P, W_half) taps; wide stages
+  (C_out = 256, HiFi-GAN v1 stage 0) run unpacked with planes spanning
+  C_out/128 lane tiles and full (C_out, C_out) taps — Mosaic tiles the
+  wider matmuls over the MXU;
 - resblocks run exactly as in :mod:`.resblock` (halo'd tiles, shifted-roll
   matmul taps, per-layer sequence-edge masking);
 - the final stage folds conv_post + tanh: 7 more taps whose (128, 128)
@@ -47,18 +50,17 @@ def _const_spec(arr) -> pl.BlockSpec:
     return pl.BlockSpec(arr.shape, lambda b, i, _n=arr.ndim: (0,) * _n)
 
 
-def _pack_plane(x: jnp.ndarray, pack: int) -> jnp.ndarray:
-    """(N, C, T) -> (N // pack, T, 128): lane = p * C + c, zero lane padding."""
+def _pack_plane(x: jnp.ndarray, pack: int, width: int = LANE) -> jnp.ndarray:
+    """(N, C, T) -> (N // pack, T, width): lane = p * C + c, zero lane padding."""
     n, c, t = x.shape
     out = x.reshape(n // pack, pack, c, t).transpose(0, 3, 1, 2) \
            .reshape(n // pack, t, pack * c)
-    return jnp.pad(out, [(0, 0), (0, 0), (0, LANE - pack * c)])
+    return jnp.pad(out, [(0, 0), (0, 0), (0, width - pack * c)])
 
 
-def _pad_tap(w: jnp.ndarray) -> jnp.ndarray:
-    """Zero-pad a (pack*C, pack*C) block-diagonal tap to (128, 128)."""
-    p = w.shape[0]
-    return jnp.pad(w, [(0, LANE - p), (0, LANE - w.shape[1])])
+def _pad_tap(w: jnp.ndarray, width: int = LANE) -> jnp.ndarray:
+    """Zero-pad a (pack*C, pack*C) block-diagonal tap to (width, width)."""
+    return jnp.pad(w, [(0, width - w.shape[0]), (0, width - w.shape[1])])
 
 
 def best_pack(batch: int, c_out: int) -> int:
@@ -70,35 +72,35 @@ def best_pack(batch: int, c_out: int) -> int:
 
 
 def _pack_up_weights(weight: jnp.ndarray, bias: jnp.ndarray, c_out: int,
-                     u: int, pack: int):
+                     u: int, pack: int, width: int = LANE):
     """ConvTranspose1d weight (C_in, C_out, k) -> polyphase block-diag taps.
 
-    Returns (taps_lo, taps_hi) each (u * M, 128, 128) with
+    Returns (taps_lo, taps_hi) each (u * M, width, width) with
     taps[r * M + m] = kron(I_P, W_half[:, :, r + m*u]) (zero for j >= k),
-    and the packed bias (128,).
+    and the packed bias (width,).
     """
     c_in, c_out_w, k = weight.shape
     assert c_out_w == c_out and c_in == 2 * c_out
     m_taps = -(-k // u)
     eye = jnp.eye(pack, dtype=jnp.float32)
     lo, hi = [], []
-    zero = jnp.zeros((LANE, LANE), jnp.float32)
+    zero = jnp.zeros((width, width), jnp.float32)
     for r in range(u):
         for m in range(m_taps):
             j = r + m * u
             if j < k:
-                lo.append(_pad_tap(jnp.kron(eye, weight[:c_out, :, j])))
-                hi.append(_pad_tap(jnp.kron(eye, weight[c_out:, :, j])))
+                lo.append(_pad_tap(jnp.kron(eye, weight[:c_out, :, j]), width))
+                hi.append(_pad_tap(jnp.kron(eye, weight[c_out:, :, j]), width))
             else:
                 lo.append(zero)
                 hi.append(zero)
     bias_p = jnp.tile(jnp.asarray(bias), pack)
-    bias_p = jnp.pad(bias_p, (0, LANE - bias_p.shape[0]))
+    bias_p = jnp.pad(bias_p, (0, width - bias_p.shape[0]))
     return jnp.stack(lo), jnp.stack(hi), bias_p
 
 
 def _pack_post_weights(weight: jnp.ndarray, bias: jnp.ndarray, c: int,
-                       pack: int):
+                       pack: int, width: int = LANE):
     """conv_post weight (1, C, k) -> k taps of kron(I_P, outer(w_j, e0)):
     out[row, p*C] = sum_c in[row, p*C + c] * w[c, j]."""
     _, c_w, k = weight.shape
@@ -106,9 +108,10 @@ def _pack_post_weights(weight: jnp.ndarray, bias: jnp.ndarray, c: int,
     e0 = np.zeros((1, c), np.float32)
     e0[0, 0] = 1.0
     eye = jnp.eye(pack, dtype=jnp.float32)
-    taps = [_pad_tap(jnp.kron(eye, weight[0, :, j][:, None] * jnp.asarray(e0)))
+    taps = [_pad_tap(jnp.kron(eye, weight[0, :, j][:, None] * jnp.asarray(e0)),
+                     width)
             for j in range(k)]
-    b_vec = np.zeros((LANE,), np.float32)
+    b_vec = np.zeros((width,), np.float32)
     b_vec[np.arange(pack) * c] = 1.0
     return jnp.stack(taps), jnp.asarray(b_vec) * bias[0]
 
@@ -157,7 +160,8 @@ def _stage_kernel(xlo_ref, xhi_ref, up_lo_ref, up_hi_ref, up_bias_ref,
                   lo_scr, hi_scr, lo_sem, hi_sem,
                   *, tap_meta, plan, u: int, m_taps: int, pad: int,
                   t_in: int, t_out: int, tile_rows: int, halo_in: int,
-                  rows_in: int, n_blocks: int, post_k: int, precision):
+                  rows_in: int, n_blocks: int, post_k: int, precision,
+                  width: int = LANE):
     bgrp = pl.program_id(0)
     tile = pl.program_id(1)
     rows_out = tile_rows + 2 * HALO
@@ -175,7 +179,7 @@ def _stage_kernel(xlo_ref, xhi_ref, up_lo_ref, up_hi_ref, up_bias_ref,
 
     # q (pre-upsample sample index) of each loaded row; planes were
     # front-padded by (HALO//u + halo_in) zeros
-    q = jax.lax.broadcasted_iota(jnp.int32, (rows_in, LANE), 0) \
+    q = jax.lax.broadcasted_iota(jnp.int32, (rows_in, width), 0) \
         + tile * in_tile - HALO // u - halo_in
     valid_in = ((q >= 0) & (q < t_in)).astype(jnp.float32)
 
@@ -188,7 +192,7 @@ def _stage_kernel(xlo_ref, xhi_ref, up_lo_ref, up_hi_ref, up_bias_ref,
     xhi = lrelu(hi_scr[...]) * valid_in
 
     # polyphase transpose conv: y_r[q] = sum_m x[q-m] @ W[r + m*u]
-    zeros = jnp.zeros((rows_in, LANE), jnp.float32)
+    zeros = jnp.zeros((rows_in, width), jnp.float32)
     phases = []
     for r in range(u):
         y = zeros
@@ -199,11 +203,11 @@ def _stage_kernel(xlo_ref, xhi_ref, up_lo_ref, up_hi_ref, up_bias_ref,
                   + dot(sh, up_hi_ref, r * m_taps + m)
         phases.append(y + up_bias_ref[...][0][None, :])
     # interleave: Z[a*u + r] = y_r[a]  <=>  z = (q_start + a)*u + r
-    z = jnp.stack(phases, axis=1).reshape(rows_in * u, LANE)
+    z = jnp.stack(phases, axis=1).reshape(rows_in * u, width)
     offset = u * halo_in + pad          # static: first needed z row
     x = pltpu.roll(z, (-offset) % (rows_in * u), 0)[:rows_out]
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (rows_out, LANE), 0) \
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rows_out, width), 0) \
         + tile * tile_rows - HALO
     valid = ((pos >= 0) & (pos < t_out)).astype(jnp.float32)
     x = x * valid
@@ -211,7 +215,7 @@ def _stage_kernel(xlo_ref, xhi_ref, up_lo_ref, up_hi_ref, up_bias_ref,
     def conv(h, ci):
         start, k, d = tap_meta[ci]
         half = (k - 1) // 2
-        y = jnp.zeros((rows_out, LANE), jnp.float32)
+        y = jnp.zeros((rows_out, width), jnp.float32)
         for j in range(k):
             shift = (j - half) * d
             shifted = _roll(h, (-shift) % rows_out if shift else 0)
@@ -235,7 +239,7 @@ def _stage_kernel(xlo_ref, xhi_ref, up_lo_ref, up_hi_ref, up_bias_ref,
     if post_k:                        # fold conv_post + tanh on the last stage
         h = lrelu(res, 0.01)
         half = (post_k - 1) // 2
-        y = jnp.zeros((rows_out, LANE), jnp.float32)
+        y = jnp.zeros((rows_out, width), jnp.float32)
         for j in range(post_k):
             shift = j - half
             shifted = _roll(h, (-shift) % rows_out if shift else 0)
@@ -266,8 +270,17 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     n, c_in, t_in = x.shape
-    assert c_in == 2 * c_out and c_out <= LANE
-    pack = best_pack(n, c_out)
+    assert c_in == 2 * c_out and (c_out <= LANE or c_out % LANE == 0)
+    if c_out > LANE:
+        # wide stage (HiFi-GAN v1's 256-ch stage 0): no batch packing; the
+        # channel plane spans c_out // 128 lane tiles and every tap matrix is
+        # (c_out, c_out) — Mosaic tiles the wider matmuls onto the MXU
+        pack, width = 1, c_out
+        # wide tiles hold (tile + 2*HALO, width) f32 intermediates; cap the
+        # tile so ~8 live values + the 2-plane scratch stay well under VMEM
+        tile_t = min(tile_t, 2048)
+    else:
+        pack, width = best_pack(n, c_out), LANE
     pad = (k_up - u) // 2
     assert 0 <= pad < u and HALO % u == 0, 'unsupported upsample geometry'
     t_out = t_in * u
@@ -279,17 +292,17 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
 
     up_lo, up_hi, up_bias = _pack_up_weights(
         jnp.asarray(up_params['weight']), jnp.asarray(up_params['bias']),
-        c_out, u, pack)
+        c_out, u, pack, width)
     taps, bias_arr, tap_meta, plan = pack_stage_weights(
-        stage, c_out, kernel_sizes, dilations, pack=pack)
+        stage, c_out, kernel_sizes, dilations, pack=pack, width=width)
     if conv_post is not None:
         post_taps, post_bias = _pack_post_weights(
             jnp.asarray(conv_post['weight']), jnp.asarray(conv_post['bias']),
-            c_out, pack)
+            c_out, pack, width)
         post_k = post_taps.shape[0]
     else:   # dummy minimal constants (Mosaic needs real refs)
-        post_taps = jnp.zeros((1, LANE, LANE), jnp.float32)
-        post_bias = jnp.zeros((LANE,), jnp.float32)
+        post_taps = jnp.zeros((1, width, width), jnp.float32)
+        post_bias = jnp.zeros((width,), jnp.float32)
         post_k = 0
 
     # the input tile must cover the OUTPUT tile incl. both out-halos plus the
@@ -310,8 +323,8 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
     # two channel-half planes, front-padded so row 0 is q = -(HALO//u+halo_in)
     front = HALO // u + halo_in
     back = t_pad // u + rows_in          # generous; reads past end are zeros
-    xlo = _pack_plane(x[:, :c_out, :], pack)
-    xhi = _pack_plane(x[:, c_out:, :], pack)
+    xlo = _pack_plane(x[:, :c_out, :], pack, width)
+    xhi = _pack_plane(x[:, c_out:, :], pack, width)
     xlo = jnp.pad(xlo, [(0, 0), (front, back - t_in), (0, 0)])
     xhi = jnp.pad(xhi, [(0, 0), (front, back - t_in), (0, 0)])
 
@@ -319,7 +332,7 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
         _stage_kernel, tap_meta=tap_meta, plan=plan, u=u, m_taps=m_taps,
         pad=pad, t_in=t_in, t_out=t_out, tile_rows=tile_t, halo_in=halo_in,
         rows_in=rows_in, n_blocks=len(kernel_sizes), post_k=post_k,
-        precision=precision)
+        precision=precision, width=width)
 
     out = pl.pallas_call(
         kernel,
@@ -329,17 +342,17 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
             pl.BlockSpec(memory_space=pltpu.ANY),        # xhi stays in HBM
             _const_spec(up_lo),
             _const_spec(up_hi),
-            pl.BlockSpec((1, LANE), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, width), lambda b, i: (0, 0)),
             _const_spec(taps),
             pl.BlockSpec(bias_arr.shape, lambda b, i: (0, 0)),
             _const_spec(post_taps),
-            pl.BlockSpec((1, LANE), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, width), lambda b, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile_t, LANE), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n // pack, t_pad, LANE), jnp.float32),
+        out_specs=pl.BlockSpec((1, tile_t, width), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n // pack, t_pad, width), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows_in, LANE), jnp.float32),
-            pltpu.VMEM((rows_in, LANE), jnp.float32),
+            pltpu.VMEM((rows_in, width), jnp.float32),
+            pltpu.VMEM((rows_in, width), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -360,6 +373,9 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
 
 def stage_eligible(c_out: int, batch: int, u: int, k_up: int) -> bool:
     """Polyphase geometry constraints for the fused stage (any batch size —
-    the packing factor adapts, padding unused lanes)."""
+    the packing factor adapts, padding unused lanes). Wide stages (c_out a
+    multiple of 128, up to 256) run unpacked with multi-lane-tile planes;
+    at 512 the (c, c) resblock tap stack alone is ~132 MB — past VMEM."""
     pad = (k_up - u) // 2
-    return c_out <= LANE and 0 <= pad < u and HALO % u == 0
+    return ((c_out <= LANE or (c_out % LANE == 0 and c_out <= 256))
+            and 0 <= pad < u and HALO % u == 0)

@@ -55,22 +55,25 @@ def stage_plan(kernel_sizes: Sequence[int],
 def pack_stage_weights(params: dict, channels: int,
                        kernel_sizes: Sequence[int] = (3, 7, 11),
                        dilations: Sequence[Sequence[int]] = ((1, 3, 5),) * 3,
-                       pack: int = None):
+                       pack: int = None, width: int = LANE):
     """Marshal a stage's ResBlock1 param trees into kernel constants.
 
     :param params: dict with 'resblocks_{i}' entries for this stage's blocks
         (folded weights: each conv has 'weight' (C, C, k) torch-layout + 'bias')
     :param pack: batch-packing factor (default the full 128 // channels);
         smaller packs zero-pad the unused lanes
-    :returns: (taps (n_taps, 128, 128) block-diagonal weights,
-               biases (n_convs_pad, 128), tap metadata, plan)
+    :param width: lane width of the kernel's channel plane — 128 for
+        lane-packed small stages, a multiple of 128 (= channels rounded up)
+        for wide stages (HiFi-GAN v1's 256-channel stage 0)
+    :returns: (taps (n_taps, width, width) block-diagonal weights,
+               biases (n_convs_pad, width), tap metadata, plan)
     """
-    pack = pack or LANE // channels
+    pack = pack or max(1, LANE // channels)
     plan = stage_plan(kernel_sizes, dilations)
     eye = jnp.eye(pack, dtype=jnp.float32)
 
     def pad_tap(w):
-        return jnp.pad(w, [(0, LANE - w.shape[0]), (0, LANE - w.shape[1])])
+        return jnp.pad(w, [(0, width - w.shape[0]), (0, width - w.shape[1])])
 
     tap_ws, biases, tap_meta = [], [], []
     tap_idx = 0
@@ -88,11 +91,11 @@ def pack_stage_weights(params: dict, channels: int,
             tap_ws.append(pad_tap(jnp.kron(eye, w[:, :, j].T)))
             tap_idx += 1
         b_packed = jnp.tile(bias, pack)
-        biases.append(jnp.pad(b_packed, (0, LANE - b_packed.shape[0])))
+        biases.append(jnp.pad(b_packed, (0, width - b_packed.shape[0])))
         tap_meta.append((start, k, d))
-    taps = jnp.stack(tap_ws)                                    # (n_taps, 128, 128)
+    taps = jnp.stack(tap_ws)                                 # (n_taps, width, width)
     n_convs_pad = _round_up(len(biases), 8)
-    bias_arr = jnp.zeros((n_convs_pad, LANE), jnp.float32)
+    bias_arr = jnp.zeros((n_convs_pad, width), jnp.float32)
     bias_arr = bias_arr.at[:len(biases)].set(jnp.stack(biases))
     return taps, bias_arr, tuple(tap_meta), tuple(plan)
 

@@ -671,8 +671,11 @@ class Processor:
                 # utterances (see the docstring)
                 y = rms_normalize(y, lengths=lengths)
                 if on_tpu:
-                    return fused_log_mel(y, *args, precision=precision)
-                return log_mel_spectrogram(y, *args)
+                    mel = fused_log_mel(y, *args, precision=precision)
+                else:
+                    mel = log_mel_spectrogram(y, *args)
+                # D2H is the e2e wall (~40 MB/s tunnel); bf16 halves it
+                return mel.astype(jnp.bfloat16) if wire == 'bf16' else mel
 
             # source-rate samples that cover the mel's centered half-window
             # (n_fft/2 target samples) — reflected into each row's zero tail
@@ -731,6 +734,8 @@ class Processor:
 
             def write_out(mel_dev, lens, names):
                 mel = np.asarray(mel_dev)   # blocks until the device is done
+                if mel.dtype != np.float32:     # re-expand the bf16 wire
+                    mel = mel.astype(np.float32)
                 for i, (n, name) in enumerate(zip(lens, names)):
                     np.save(os.path.join(out_dir, name + '.mel.npy'),
                             mel[i, :, :n // hop + 1])

@@ -152,8 +152,9 @@ def test_generator_apply_fused_matches_flax():
 
 
 def test_generator_apply_fused_mixed_eligibility():
-    """v1-style config: first stage C=256 must fall back to flax, later
-    stages (C <= 128) run fused — outputs must still match flax end-to-end."""
+    """v1-style config: every stage fuses — the 256-ch stage 0 on the wide
+    (multi-lane-tile) kernel path, later stages (C <= 128) lane-packed —
+    and outputs must match flax end-to-end."""
     from pytorch_sound_tpu.models import build_model
     from pytorch_sound_tpu.models.vocoders.hifi_gan import (
         fold_weight_norm_params, generator_apply_fused)
@@ -187,7 +188,8 @@ def test_fused_full_stage_matches_flax():
 
 
 def test_fused_full_stage_v1_mixed_eligibility():
-    """v1's first stage (C_out=256 > 128 lanes) falls back; the rest fuse."""
+    """v1 fully fuses: stage 0 (C_out=256) runs the wide unpacked kernel
+    (two lane tiles per plane, (256, 256) taps), the rest lane-packed."""
     from pytorch_sound_tpu.models import build_model
     import pytorch_sound_tpu.models.vocoders.hifi_gan as hg
 
@@ -236,6 +238,49 @@ def test_fused_full_stage_any_batch():
         ref = np.asarray(gen.apply(params, mel))
         out = np.asarray(hg.generator_apply_fused(gen, params, mel, True))
         np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_fused_wide_stage_multi_tile():
+    """The wide (c_out=256) kernel at v1 stage-0 geometry (u=8, k_up=16) with
+    the output spanning multiple time tiles (the wide path caps tile_t at
+    2048): matches lrelu -> conv_transpose -> ResBlock1 mean in flax."""
+    import flax.linen as nn
+    from pytorch_sound_tpu.models.vocoders.hifi_gan import ResBlock1
+    from pytorch_sound_tpu.ops.nn import conv_transpose1d
+    from pytorch_sound_tpu.ops.pallas.gen_stage import (fused_generator_stage,
+                                                        stage_eligible)
+
+    assert stage_eligible(256, 2, 8, 16)
+    assert not stage_eligible(512, 2, 8, 16)
+
+    c, u, k_up, t = 256, 8, 16, 320            # t_out = 2560 -> 2 tiles
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.standard_normal((2, 2 * c, t)) * 0.3, jnp.float32)
+
+    def mk(*shape):
+        return jnp.asarray(rng.standard_normal(shape) * 0.05, jnp.float32)
+
+    up = {'weight': mk(2 * c, c, k_up), 'bias': mk(c)}
+    stage = {}
+    for j, kk in enumerate((3, 7, 11)):
+        blk = {}
+        for r in range(3):
+            blk['convs1_%d' % r] = {'weight': mk(c, c, kk), 'bias': mk(c)}
+            blk['convs2_%d' % r] = {'weight': mk(c, c, kk), 'bias': mk(c)}
+        stage['resblocks_%d' % j] = blk
+
+    h = nn.leaky_relu(x, 0.1)
+    h = conv_transpose1d(h, up['weight'], up['bias'], stride=u,
+                         padding=(k_up - u) // 2)
+    ref = 0
+    for j, kk in enumerate((3, 7, 11)):
+        rb = ResBlock1(c, kk, (1, 3, 5), use_weight_norm=False)
+        ref = ref + rb.apply({'params': stage['resblocks_%d' % j]}, h)
+    ref = np.asarray(ref / 3)
+
+    out = np.asarray(fused_generator_stage(x, up, stage, c, u, k_up))
+    assert out.shape == ref.shape == (2, c, u * t)
+    np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
 def test_fused_hifigan_mel_trainable_grads():
