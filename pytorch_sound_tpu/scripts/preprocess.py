@@ -639,6 +639,12 @@ class Processor:
 
         wav_list = sorted(glob.glob(os.path.join(in_dir, '**', '*.wav'),
                                     recursive=True))
+        if jax.process_count() > 1:
+            # multi-host corpus: each host extracts a disjoint strided shard
+            # (outputs are per-file .npy — no cross-host assembly needed)
+            from pytorch_sound_tpu.parallel.data import process_shard_indices
+            wav_list = [wav_list[i]
+                        for i in process_shard_indices(len(wav_list))]
         os.makedirs(out_dir, exist_ok=True)
         hop = settings.HOP_LENGTH
 
