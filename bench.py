@@ -173,6 +173,36 @@ def bench_vocoder(batch: int = 32, frames: int = 256, precision: str = 'highest'
     return samples / dt
 
 
+def bench_vocoder_v1(batch: int = 16, frames: int = 256,
+                     precision: str = 'highest'):
+    """Mel->wav throughput of HiFi-GAN **v1** (the reference's MOS-4.3
+    flagship, 14M params, stages 256/128/64/32 ch) on the fully-fused stage
+    path — the 256-ch stage 0 rides the wide kernel. The v1 checkpoint blob
+    is absent from the reference mirror (`.MISSING_LARGE_BLOBS`), so weights
+    are random folded-init; throughput is weight-agnostic.
+    """
+    import jax
+    import jax.numpy as jnp
+    from pytorch_sound_tpu.models import build_model
+    import pytorch_sound_tpu.models.vocoders.hifi_gan as hg
+
+    gen = build_model('hifi_gan_v1', extra_kwargs={'use_weight_norm': False})
+    rng = np.random.default_rng(21)
+    mel0 = jnp.asarray(
+        rng.standard_normal((batch, 80, frames)).astype(np.float32) * 2 - 4)
+    params = gen.init(jax.random.PRNGKey(0), mel0[:1])
+
+    def step(carry):
+        mel, acc = carry
+        wav = hg.generator_apply_fused(gen, params, mel, full_stage=True,
+                                       precision=precision)
+        mel = jnp.roll(mel, 1, axis=-1) * (1.0 + 1e-3 * jnp.tanh(wav.mean()))
+        return mel, acc + wav.mean()
+
+    dt = _timeit_device_loop(step, mel0, iters=10)
+    return batch * frames * 256 / dt
+
+
 def _vocoder_parity_err(batch: int = 32, frames: int = 256) -> float:
     """Max abs waveform delta of the bf16x3 fused decode vs the f32-HIGHEST
     decode on the real pretrained checkpoint (tanh output in [-1, 1], so this
@@ -462,10 +492,17 @@ def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
     return 1.0 / dt
 
 
+# (block_q, block_kv) per sequence length for the flash fwd+bwd benches;
+# tuned on v5e (see docs/KERNELS.md) — bigger tiles amortize grid overhead
+FLASH_BLOCKS = {4096: (256, 1024), 8192: (256, 1024), 16384: (256, 1024)}
+
+
 def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
     """Compiled (non-interpret) Pallas flash-attention validation on the real
     device: forward AND custom-VJP backward parity vs the dense XLA path,
-    plus steady-state timings. Returns a dict for BENCH_DETAILS."""
+    plus steady-state timings at T = t, 2t, 4t, 8t (dense is attempted at
+    every T; its OOM/compile failure at long T is recorded as evidence).
+    Returns a dict for BENCH_DETAILS."""
     import jax
     import jax.numpy as jnp
     from pytorch_sound_tpu.ops.pallas.flash_attention import (
@@ -531,13 +568,10 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
         make_step(flash_b3), q, n1=6, n2=18) * 1e3
     res['dense_fwd_bwd_ms'] = _timeit_chained_slope(
         make_step(dense), q, n1=6, n2=18) * 1e3
-    res['speedup_vs_dense'] = (res['dense_fwd_bwd_ms']
-                               / res['flash_fwd_bwd_ms_bf16x3'])
 
-    # the long-sequence point (where O(T^2) starts to hurt dense)
-    q4, k4, v4 = (jnp.asarray(rng.standard_normal((n, h, 2 * t, d)),
-                              dtype=jnp.float32) for _ in range(3))
-
+    # longer sequences: flash stays O(T*block) in memory; dense materializes
+    # (n*h, T, T) score/probability tensors (34 GB at T=16384 — expected to
+    # fail on a 16 GB chip; the failure is recorded as evidence)
     def make_step_kv(f, kk, vv):
         g = jax.jit(jax.value_and_grad(lambda q: loss(f)(q, kk, vv)))
 
@@ -546,10 +580,29 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
             return state * (1.0 + 1e-4 * jnp.tanh(val)) + 1e-6 * dq, val
         return step
 
-    res['flash_fwd_bwd_ms_bf16x3_t%d' % (2 * t)] = _timeit_chained_slope(
-        make_step_kv(flash_b3, k4, v4), q4, n1=6, n2=18) * 1e3
-    res['dense_fwd_bwd_ms_t%d' % (2 * t)] = _timeit_chained_slope(
-        make_step_kv(dense, k4, v4), q4, n1=6, n2=18) * 1e3
+    for tt in (2 * t, 4 * t, 8 * t):
+        qT, kT, vT = (jnp.asarray(rng.standard_normal((n, h, tt, d)),
+                                  dtype=jnp.float32) for _ in range(3))
+        bq, bkv = FLASH_BLOCKS.get(tt, (128, 512))
+
+        def flash_t(q, k, v, bq=bq, bkv=bkv):
+            return flash_attention_trainable(q, k, v, None, bq, bkv, False,
+                                             'bf16x3')
+        res['flash_fwd_bwd_ms_bf16x3_t%d' % tt] = _timeit_chained_slope(
+            make_step_kv(flash_t, kT, vT), qT, n1=4, n2=12) * 1e3
+        try:
+            res['dense_fwd_bwd_ms_t%d' % tt] = _timeit_chained_slope(
+                make_step_kv(dense, kT, vT), qT, n1=2, n2=6) * 1e3
+        except Exception as e:
+            res['dense_fwd_bwd_ms_t%d' % tt] = None
+            res['dense_t%d_error' % tt] = repr(e)[:200]
+        del qT, kT, vT
+    d4 = res.get('dense_fwd_bwd_ms_t%d' % (2 * t))
+    if d4:
+        res['speedup_vs_dense_t%d' % (2 * t)] = (
+            d4 / res['flash_fwd_bwd_ms_bf16x3_t%d' % (2 * t)])
+    res['speedup_vs_dense'] = (res['dense_fwd_bwd_ms']
+                               / res['flash_fwd_bwd_ms_bf16x3'])
     return res
 
 
@@ -567,6 +620,9 @@ def main():
             precision='bf16x3')
         details['vocoder_bf16x3_waveform_max_err'] = _vocoder_parity_err()
         details['streaming_decode_samples_per_sec'] = bench_streaming_decode()
+        details['vocoder_v1_samples_per_sec'] = bench_vocoder_v1()
+        details['vocoder_v1_samples_per_sec_bf16x3'] = bench_vocoder_v1(
+            precision='bf16x3')
     except Exception as e:   # keep the one-line contract even on failure
         details['vocoder_error'] = repr(e)
     try:
