@@ -276,8 +276,16 @@ def generator_apply_fused(config, params: Dict[str, Any],
     dilations = tuple(tuple(d) for d in config.resblock_dilation_sizes)
     n_stages = len(config.upsample_rates)
 
-    x = conv1d(mel, p['conv_pre']['weight'], p['conv_pre']['bias'], padding=3)
     ch = config.upsample_initial_channel
+    # conv_pre folds into a wide (ch/2 > 128) fused stage 0 (one less HBM
+    # round trip of the widest activation); otherwise it runs in XLA here
+    fold_pre = (full_stage and config.resblock == '1' and ch // 2 > 128
+                and mel.shape[1] <= 128
+                and gs.stage_eligible(ch // 2, mel.shape[0],
+                                      config.upsample_rates[0],
+                                      config.upsample_kernel_sizes[0]))
+    x = mel if fold_pre else conv1d(mel, p['conv_pre']['weight'],
+                                    p['conv_pre']['bias'], padding=3)
     for i, (u, k) in enumerate(zip(config.upsample_rates,
                                    config.upsample_kernel_sizes)):
         ch //= 2
@@ -289,6 +297,7 @@ def generator_apply_fused(config, params: Dict[str, Any],
             x = gs.fused_generator_stage(
                 x, p['ups_%d' % i], stage, ch, u, k, kernel_sizes, dilations,
                 conv_post=p['conv_post'] if last else None,
+                conv_pre=p['conv_pre'] if (fold_pre and i == 0) else None,
                 precision=precision)
             if last:
                 return x            # conv_post + tanh already applied

@@ -155,41 +155,71 @@ def _roll(h, shift):
     return pltpu.roll(h, shift, 0) if shift else h
 
 
+PRE_HALO = 8        # mel-scratch halo rows for the folded conv_pre (k <= 17)
+
+
 def _stage_kernel(xlo_ref, xhi_ref, up_lo_ref, up_hi_ref, up_bias_ref,
-                  taps_ref, bias_ref, post_taps_ref, post_bias_ref, out_ref,
+                  taps_ref, bias_ref, post_taps_ref, post_bias_ref,
+                  pre_lo_ref, pre_hi_ref, pre_bias_ref, out_ref,
                   lo_scr, hi_scr, lo_sem, hi_sem,
                   *, tap_meta, plan, u: int, m_taps: int, pad: int,
                   t_in: int, t_out: int, tile_rows: int, halo_in: int,
                   rows_in: int, n_blocks: int, post_k: int, precision,
-                  width: int = LANE):
+                  width: int = LANE, pre_k: int = 0):
     bgrp = pl.program_id(0)
     tile = pl.program_id(1)
     rows_out = tile_rows + 2 * HALO
 
     in_tile = tile_rows // u
     start_row = pl.multiple_of(tile * in_tile, 8)
-    dma_lo = pltpu.make_async_copy(
-        xlo_ref.at[bgrp, pl.ds(start_row, rows_in), :], lo_scr, lo_sem)
-    dma_hi = pltpu.make_async_copy(
-        xhi_ref.at[bgrp, pl.ds(start_row, rows_in), :], hi_scr, hi_sem)
-    dma_lo.start()
-    dma_hi.start()
-    dma_lo.wait()
-    dma_hi.wait()
-
-    # q (pre-upsample sample index) of each loaded row; planes were
-    # front-padded by (HALO//u + halo_in) zeros
-    q = jax.lax.broadcasted_iota(jnp.int32, (rows_in, width), 0) \
-        + tile * in_tile - HALO // u - halo_in
-    valid_in = ((q >= 0) & (q < t_in)).astype(jnp.float32)
 
     def lrelu(v, slope=0.1):
         return jnp.where(v > 0, v, slope * v)
 
     dot = _make_dot(precision)
 
-    xlo = lrelu(lo_scr[...]) * valid_in
-    xhi = lrelu(hi_scr[...]) * valid_in
+    # q (pre-upsample sample index) of each x row; planes were front-padded
+    # by (HALO//u + halo_in) zeros (+ PRE_HALO more for the folded conv_pre)
+    q = jax.lax.broadcasted_iota(jnp.int32, (rows_in, width), 0) \
+        + tile * in_tile - HALO // u - halo_in
+    valid_in = ((q >= 0) & (q < t_in)).astype(jnp.float32)
+
+    if pre_k:
+        # folded conv_pre: DMA the single mel plane (with PRE_HALO extra rows
+        # on both sides) and produce the two c_in half-planes in VMEM:
+        # x_half[r] = sum_j mel[r + j - k//2] @ W_pre_half[j] + b_half.
+        # Rolls are <= k//2 < PRE_HALO, so wraparound rows never reach the
+        # consumed center; mel rows outside [0, t_in) are zero in the plane
+        # (exact conv zero-pad parity) and x edge rows are re-masked below.
+        dma = pltpu.make_async_copy(
+            xlo_ref.at[bgrp, pl.ds(start_row, rows_in + 2 * PRE_HALO), :],
+            lo_scr, lo_sem)
+        dma.start()
+        dma.wait()
+        mel = lo_scr[...]
+        half = (pre_k - 1) // 2
+        xlo = jnp.zeros((rows_in, width), jnp.float32)
+        xhi = jnp.zeros((rows_in, width), jnp.float32)
+        for j in range(pre_k):
+            shift = j - half
+            rows_mel = rows_in + 2 * PRE_HALO
+            # sh[r] = mel[r + PRE_HALO + shift] (see _roll: y[r] = h[r - a])
+            sh = _roll(mel, (-(PRE_HALO + shift)) % rows_mel)[:rows_in]
+            xlo = xlo + dot(sh, pre_lo_ref, j)
+            xhi = xhi + dot(sh, pre_hi_ref, j)
+        xlo = lrelu(xlo + pre_bias_ref[0][None, :]) * valid_in
+        xhi = lrelu(xhi + pre_bias_ref[1][None, :]) * valid_in
+    else:
+        dma_lo = pltpu.make_async_copy(
+            xlo_ref.at[bgrp, pl.ds(start_row, rows_in), :], lo_scr, lo_sem)
+        dma_hi = pltpu.make_async_copy(
+            xhi_ref.at[bgrp, pl.ds(start_row, rows_in), :], hi_scr, hi_sem)
+        dma_lo.start()
+        dma_hi.start()
+        dma_lo.wait()
+        dma_hi.wait()
+        xlo = lrelu(lo_scr[...]) * valid_in
+        xhi = lrelu(hi_scr[...]) * valid_in
 
     # polyphase transpose conv: y_r[q] = sum_m x[q-m] @ W[r + m*u]
     zeros = jnp.zeros((rows_in, width), jnp.float32)
@@ -254,6 +284,7 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
                           kernel_sizes: Sequence[int] = (3, 7, 11),
                           dilations: Sequence[Sequence[int]] = ((1, 3, 5),) * 3,
                           conv_post: Optional[dict] = None,
+                          conv_pre: Optional[dict] = None,
                           tile_t: int = TILE_T, precision: str = 'highest',
                           interpret: bool = None) -> jnp.ndarray:
     """One full generator stage: x (N, 2*C_out, T) -> (N, C_out, u*T), or
@@ -261,6 +292,10 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
 
     ``up_params``: {'weight' (C_in, C_out, k_up), 'bias'} of the stage's
     ConvTranspose1d; ``stage``: the three resblock param trees.
+    ``conv_pre``: optional generator conv_pre params — folds the mel-frontend
+    conv into stage 0: ``x`` is then the raw mel (N, C_mel, T) with
+    C_mel <= 128, and the C_in half-planes are produced inside the kernel
+    (wide/unpacked stages only, i.e. C_out > 128 — HiFi-GAN v1's stage 0).
     ``precision``: 'highest' (6-pass f32, exact flax parity), 'bf16x3'
     (3-pass hi/lo bf16 split, ~2x faster matmuls; cascaded over all four
     stages of the v2 generator this measures ~35 dB SNR vs f32 — mean 3e-4,
@@ -270,6 +305,10 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     n, c_in, t_in = x.shape
+    if conv_pre is not None:
+        assert c_out > LANE and c_in <= LANE, \
+            'conv_pre folding: wide stage only, mel channels <= 128'
+        c_mel, c_in = c_in, 2 * c_out
     assert c_in == 2 * c_out and (c_out <= LANE or c_out % LANE == 0)
     if c_out > LANE:
         # wide stage (HiFi-GAN v1's 256-ch stage 0): no batch packing; the
@@ -312,6 +351,27 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
     halo_in = _round_up((2 * HALO + pad) // u + m_taps + 2, 8)
     rows_in = tile_t // u + 2 * halo_in
 
+    if conv_pre is not None:
+        # mel-frontend taps: W_pre (C_in, C_mel, k) torch layout; tap j is
+        # W_pre[:, :, j].T split into the two C_in half-planes' columns
+        w_pre = jnp.asarray(conv_pre['weight'])
+        b_pre = jnp.asarray(conv_pre['bias'])
+        pre_k = w_pre.shape[2]
+        assert (pre_k - 1) // 2 < PRE_HALO, 'conv_pre kernel too long'
+        mel_w = LANE
+        pre_lo = jnp.stack([
+            jnp.pad(w_pre[:c_out, :, j].T, [(0, mel_w - c_mel), (0, 0)])
+            for j in range(pre_k)])
+        pre_hi = jnp.stack([
+            jnp.pad(w_pre[c_out:, :, j].T, [(0, mel_w - c_mel), (0, 0)])
+            for j in range(pre_k)])
+        pre_bias = jnp.stack([b_pre[:c_out], b_pre[c_out:]])
+    else:   # dummy minimal constants
+        pre_k = 0
+        pre_lo = jnp.zeros((1, LANE, LANE), jnp.float32)
+        pre_hi = jnp.zeros((1, LANE, LANE), jnp.float32)
+        pre_bias = jnp.zeros((2, width), jnp.float32)
+
     if precision == 'bf16x3':   # hi/lo bf16 stacks for the 3-pass contraction
         def prep(w):
             hi = w.astype(jnp.bfloat16)
@@ -319,20 +379,32 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
             return jnp.stack([hi, lo])
         up_lo, up_hi = prep(up_lo), prep(up_hi)
         taps, post_taps = prep(taps), prep(post_taps)
+        pre_lo, pre_hi = prep(pre_lo), prep(pre_hi)
 
-    # two channel-half planes, front-padded so row 0 is q = -(HALO//u+halo_in)
+    # channel planes, front-padded so row 0 is q = -(HALO//u + halo_in)
+    # (folded-conv_pre mode: ONE mel plane with PRE_HALO extra rows per side)
     front = HALO // u + halo_in
     back = t_pad // u + rows_in          # generous; reads past end are zeros
-    xlo = _pack_plane(x[:, :c_out, :], pack, width)
-    xhi = _pack_plane(x[:, c_out:, :], pack, width)
-    xlo = jnp.pad(xlo, [(0, 0), (front, back - t_in), (0, 0)])
-    xhi = jnp.pad(xhi, [(0, 0), (front, back - t_in), (0, 0)])
+    if conv_pre is not None:
+        xlo = _pack_plane(x, 1, LANE)
+        xlo = jnp.pad(xlo, [(0, 0), (front + PRE_HALO,
+                                     back - t_in + PRE_HALO), (0, 0)])
+        xhi = jnp.zeros((n, 8, LANE), jnp.float32)       # unused dummy
+        scratch_lo = pltpu.VMEM((rows_in + 2 * PRE_HALO, LANE), jnp.float32)
+        scratch_hi = pltpu.VMEM((8, LANE), jnp.float32)  # unused dummy
+    else:
+        xlo = _pack_plane(x[:, :c_out, :], pack, width)
+        xhi = _pack_plane(x[:, c_out:, :], pack, width)
+        xlo = jnp.pad(xlo, [(0, 0), (front, back - t_in), (0, 0)])
+        xhi = jnp.pad(xhi, [(0, 0), (front, back - t_in), (0, 0)])
+        scratch_lo = pltpu.VMEM((rows_in, width), jnp.float32)
+        scratch_hi = pltpu.VMEM((rows_in, width), jnp.float32)
 
     kernel = functools.partial(
         _stage_kernel, tap_meta=tap_meta, plan=plan, u=u, m_taps=m_taps,
         pad=pad, t_in=t_in, t_out=t_out, tile_rows=tile_t, halo_in=halo_in,
         rows_in=rows_in, n_blocks=len(kernel_sizes), post_k=post_k,
-        precision=precision, width=width)
+        precision=precision, width=width, pre_k=pre_k)
 
     out = pl.pallas_call(
         kernel,
@@ -347,12 +419,15 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
             pl.BlockSpec(bias_arr.shape, lambda b, i: (0, 0)),
             _const_spec(post_taps),
             pl.BlockSpec((1, width), lambda b, i: (0, 0)),
+            _const_spec(pre_lo),
+            _const_spec(pre_hi),
+            pl.BlockSpec(pre_bias.shape, lambda b, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile_t, width), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((n // pack, t_pad, width), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows_in, width), jnp.float32),
-            pltpu.VMEM((rows_in, width), jnp.float32),
+            scratch_lo,
+            scratch_hi,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -361,7 +436,7 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
             dimension_semantics=('parallel', 'arbitrary')),
         interpret=interpret,
     )(xlo, xhi, up_lo, up_hi, up_bias[None, :], taps, bias_arr,
-      post_taps, post_bias[None, :])
+      post_taps, post_bias[None, :], pre_lo, pre_hi, pre_bias)
 
     out = out[:, :t_out, :]
     if conv_post is not None:   # waveform lives at lane p*c_out of each group
