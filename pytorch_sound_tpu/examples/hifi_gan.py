@@ -119,11 +119,26 @@ class HiFiGANTrainer(Trainer):
             return fused_hifigan_mel_trainable(wav)
         return mel_ops.hifigan_mel_spectrogram(wav, **MEL_KW)
 
+    def _disc_apply_both(self, disc_key, disc_params, real, fake):
+        """One discriminator pass over concat([real, fake]) instead of two.
+
+        Identical math (the discriminators have no cross-batch ops), half
+        the conv dispatches per phase, and 2x batch rows for the narrow
+        layers the MXU would otherwise under-fill. Returns (real_outs,
+        fake_outs) in the per-sub-discriminator (score, features) format."""
+        module = self.mpd if disc_key == 'mpd' else self.msd
+        n = real.shape[0]
+        both = module.apply(disc_params[disc_key],
+                            jnp.concatenate([real, fake], axis=0))
+        real_outs = [(s[:n], [f[:n] for f in feats]) for s, feats in both]
+        fake_outs = [(s[n:], [f[n:] for f in feats]) for s, feats in both]
+        return real_outs, fake_outs
+
     def _disc_loss(self, disc_params, real, fake):
-        mpd_real = self.mpd.apply(disc_params['mpd'], real)
-        mpd_fake = self.mpd.apply(disc_params['mpd'], fake)
-        msd_real = self.msd.apply(disc_params['msd'], real)
-        msd_fake = self.msd.apply(disc_params['msd'], fake)
+        mpd_real, mpd_fake = self._disc_apply_both('mpd', disc_params,
+                                                   real, fake)
+        msd_real, msd_fake = self._disc_apply_both('msd', disc_params,
+                                                   real, fake)
         return (gan_ops.discriminator_loss(mpd_real, mpd_fake)
                 + gan_ops.discriminator_loss(msd_real, msd_fake))
 
@@ -132,10 +147,12 @@ class HiFiGANTrainer(Trainer):
         mel_fake = self._mel(fake[:, 0])
         mel_l1 = jnp.mean(jnp.abs(mel_fake - mel_real))
 
-        mpd_real = self.mpd.apply(disc_params['mpd'], real)
-        mpd_fake = self.mpd.apply(disc_params['mpd'], fake)
-        msd_real = self.msd.apply(disc_params['msd'], real)
-        msd_fake = self.msd.apply(disc_params['msd'], fake)
+        # real carries no gradient in the generator phase (FM targets only)
+        real_ng = jax.lax.stop_gradient(real)
+        mpd_real, mpd_fake = self._disc_apply_both('mpd', disc_params,
+                                                   real_ng, fake)
+        msd_real, msd_fake = self._disc_apply_both('msd', disc_params,
+                                                   real_ng, fake)
 
         adv = (gan_ops.generator_adversarial_loss(mpd_fake)
                + gan_ops.generator_adversarial_loss(msd_fake))

@@ -48,6 +48,35 @@ def test_gan_losses_behave():
     assert float(gan_ops.feature_matching_loss(real, fake)) == 1.0
 
 
+def test_batched_disc_pass_matches_separate(tmp_path):
+    """_disc_apply_both (one pass over concat([real, fake])) must equal two
+    separate discriminator passes — scores and every feature map."""
+    trainer = HiFiGANTrainer(
+        build_model('hifi_gan_v3', extra_kwargs={
+            'upsample_initial_channel': 32}),
+        build_model('hifi_gan_mpd_small'), build_model('hifi_gan_msd_small'),
+        optax.adamw(2e-4), optax.adamw(2e-4), None, None,
+        max_step=1, valid_max_step=1, save_interval=10, log_interval=10,
+        save_dir=str(tmp_path), save_prefix='t', seed=0)
+    rng = np.random.default_rng(3)
+    real = jnp.asarray(rng.standard_normal((2, 1, 1024)), jnp.float32)
+    fake = jnp.asarray(rng.standard_normal((2, 1, 1024)), jnp.float32)
+    trainer._ensure_initialized([real[:, 0]])
+    dp = {'mpd': trainer.params['mpd'], 'msd': trainer.params['msd']}
+
+    for key, module in (('mpd', trainer.mpd), ('msd', trainer.msd)):
+        r_out, f_out = trainer._disc_apply_both(key, dp, real, fake)
+        r_ref = module.apply(dp[key], real)
+        f_ref = module.apply(dp[key], fake)
+        for (got, ref) in ((r_out, r_ref), (f_out, f_ref)):
+            for (s_g, feats_g), (s_r, feats_r) in zip(got, ref):
+                np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_r),
+                                           atol=1e-5)
+                for a, b in zip(feats_g, feats_r):
+                    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                               atol=1e-5)
+
+
 @pytest.fixture(scope='module')
 def gan_trainer(tmp_path_factory):
     def loader():
