@@ -121,6 +121,27 @@ def test_flash_precision_modes():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_flash_asymmetric_blocks():
+    """Non-square block shapes (block_kv > block_q, and block_q > T) with
+    ragged lengths — the geometry the tuned TPU defaults use (256/1024)."""
+    from pytorch_sound_tpu.ops.pallas.flash_attention import (
+        flash_attention_trainable)
+    rng = np.random.default_rng(23)
+    q, k, v = _qkv(rng, t=150, d=16)
+    ref = _dense_attention(q, k, v)
+    for bq, bkv in ((32, 128), (256, 64), (64, 256)):
+        out = flash_attention_trainable(q, k, v, None, bq, bkv, True,
+                                        'highest')
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        g = jax.grad(lambda q: jnp.sum(jnp.sin(flash_attention_trainable(
+            q, k, v, None, bq, bkv, True, 'highest'))))(q)
+        g_ref = jax.grad(lambda q: jnp.sum(jnp.sin(_dense_attention(
+            q, k, v))))(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=1e-4)
+
+
 def test_ring_attention_matches_dense_on_mesh():
     """Exact sequence-parallel attention over the 8-device virtual mesh."""
     from pytorch_sound_tpu.parallel import make_mesh
