@@ -1,0 +1,52 @@
+"""Robustness tests for the bench timing helpers (pure host-side).
+
+Round-3 regression: a multi-second tunnel stall inside the SHORT run of the
+two-point slope made T(n1) > T(n2) and produced NEGATIVE steps/s in a driver
+artifact. The helper now takes the median of positive pairwise slopes across
+interleaved trials and falls back to a bounded estimate.
+"""
+
+import sys
+import time
+import os
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _timeit_chained_slope  # noqa: E402
+
+
+def _make_step(cost_s, spikes):
+    """step_fn sleeping cost_s per call; spikes maps call-index -> extra s."""
+    calls = {'n': 0}
+
+    def step(state):
+        time.sleep(cost_s + spikes.get(calls['n'], 0.0))
+        calls['n'] += 1
+        return state + 1, np.asarray([float(state)])
+    return step
+
+
+def test_slope_timing_constant_cost():
+    dt = _timeit_chained_slope(_make_step(0.002, {}), 0.0, n1=3, n2=9,
+                               warmup=1, trials=2)
+    assert 0.001 < dt < 0.004
+
+
+def test_slope_timing_survives_stall_in_short_run():
+    # a 200 ms stall inside one short run used to flip the slope negative
+    step = _make_step(0.002, {2: 0.2})
+    dt = _timeit_chained_slope(step, 0.0, n1=3, n2=9, warmup=1, trials=3)
+    assert dt > 0
+    assert dt < 0.01        # the stall must not leak into the estimate
+
+
+def test_slope_timing_all_corrupt_falls_back_bounded():
+    # pathological: every short run stalls longer than the long runs — no
+    # positive pairwise slope survives; the fallback must stay positive and
+    # bounded by the long-run average
+    spikes = {i: 0.5 for i in range(0, 100, 12)}   # hit every trial's n1 run
+    step = _make_step(0.001, spikes)
+    dt = _timeit_chained_slope(step, 0.0, n1=1, n2=3, warmup=0, trials=2)
+    assert dt > 0
