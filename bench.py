@@ -583,13 +583,18 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
     for tt in (2 * t, 4 * t, 8 * t):
         qT, kT, vT = (jnp.asarray(rng.standard_normal((n, h, tt, d)),
                                   dtype=jnp.float32) for _ in range(3))
-        bq, bkv = FLASH_BLOCKS.get(tt, (128, 512))
-
-        def flash_t(q, k, v, bq=bq, bkv=bkv):
-            return flash_attention_trainable(q, k, v, None, bq, bkv, False,
-                                             'bf16x3')
-        res['flash_fwd_bwd_ms_bf16x3_t%d' % tt] = _timeit_chained_slope(
-            make_step_kv(flash_t, kT, vT), qT, n1=4, n2=12) * 1e3
+        for bq, bkv in (FLASH_BLOCKS.get(tt, (128, 512)), (128, 512)):
+            def flash_t(q, k, v, bq=bq, bkv=bkv):
+                return flash_attention_trainable(q, k, v, None, bq, bkv,
+                                                 False, 'bf16x3')
+            try:
+                res['flash_fwd_bwd_ms_bf16x3_t%d' % tt] = \
+                    _timeit_chained_slope(
+                        make_step_kv(flash_t, kT, vT), qT, n1=4, n2=12) * 1e3
+                res['flash_blocks_t%d' % tt] = [bq, bkv]
+                break
+            except Exception as e:   # tuned blocks rejected -> proven pair
+                res['flash_t%d_block_error' % tt] = repr(e)[:160]
         try:
             res['dense_fwd_bwd_ms_t%d' % tt] = _timeit_chained_slope(
                 make_step_kv(dense, kT, vT), qT, n1=2, n2=6) * 1e3
