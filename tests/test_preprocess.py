@@ -145,3 +145,28 @@ def test_extract_features_overlapped(tmp_path):
         n_eff = min(n, int(2.5 * sr))
         assert mel.shape == (settings.MEL_SIZE, n_eff // settings.HOP_LENGTH + 1)
         assert np.isfinite(mel).all()
+
+
+def test_extract_features_bf16_wire_accuracy(tmp_path):
+    """The default bf16 device->host feature wire stays within bf16
+    quantization of the f32 wire (saved dtype is f32 either way)."""
+    import numpy as np
+    from pytorch_sound_tpu import settings
+    from pytorch_sound_tpu.utils.wavio import write_wav
+
+    in_dir = str(tmp_path / 'in')
+    os.makedirs(in_dir)
+    sr = settings.SAMPLE_RATE
+    rng = np.random.default_rng(4)
+    write_wav(os.path.join(in_dir, 'a.wav'),
+              (0.1 * rng.standard_normal(sr)).astype(np.float32), sr)
+
+    outs = {}
+    for wire in ('bf16', 'f32'):
+        out_dir = str(tmp_path / ('out_' + wire))
+        Processor.extract_features(in_dir, out_dir, batch_size=1,
+                                   pad_seconds=1.5, wire=wire)
+        outs[wire] = np.load(os.path.join(out_dir, 'a.mel.npy'))
+    assert outs['bf16'].dtype == outs['f32'].dtype == np.float32
+    # log-mel range here is ~[-12, 3]; bf16 has 8 mantissa bits
+    assert np.abs(outs['bf16'] - outs['f32']).max() < 0.05
