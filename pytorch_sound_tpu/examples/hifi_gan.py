@@ -147,12 +147,19 @@ class HiFiGANTrainer(Trainer):
         mel_fake = self._mel(fake[:, 0])
         mel_l1 = jnp.mean(jnp.abs(mel_fake - mel_real))
 
-        # real carries no gradient in the generator phase (FM targets only)
+        # Real carries no gradient in the generator phase (FM targets only),
+        # so evaluate it in its OWN discriminator pass rather than batched
+        # with fake: concat would drag the real rows onto the AD tape and
+        # the conv backward would compute dx for all 2N rows (half of it
+        # discarded). Separate passes keep the real branch a constant
+        # subgraph — fwd only, no dx — saving ~half the gen-phase
+        # discriminator backward. (The DISC phase keeps the batched concat:
+        # there both halves need gradients.)
         real_ng = jax.lax.stop_gradient(real)
-        mpd_real, mpd_fake = self._disc_apply_both('mpd', disc_params,
-                                                   real_ng, fake)
-        msd_real, msd_fake = self._disc_apply_both('msd', disc_params,
-                                                   real_ng, fake)
+        mpd_real = self.mpd.apply(disc_params['mpd'], real_ng)
+        msd_real = self.msd.apply(disc_params['msd'], real_ng)
+        mpd_fake = self.mpd.apply(disc_params['mpd'], fake)
+        msd_fake = self.msd.apply(disc_params['msd'], fake)
 
         adv = (gan_ops.generator_adversarial_loss(mpd_fake)
                + gan_ops.generator_adversarial_loss(msd_fake))
