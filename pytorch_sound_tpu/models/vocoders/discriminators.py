@@ -65,13 +65,25 @@ class WNConv2d(nn.Module):
 
 
 class PeriodDiscriminator(nn.Module):
-    """Folds the wave into (T/period, period) and runs a (5,1)-conv stack."""
+    """Folds the wave into (T/period, period) and runs a (5,1)-conv stack.
+
+    TPU formulation: the paper's 2D convs have kernel/stride 1 along the
+    period axis, so every period column is convolved independently — the
+    whole stack IS a batch of dense conv1d's. Fold the period into the
+    batch dim once and run channels-last (NTC) conv1d layers: XLA gets
+    MXU-shaped dense 1-d convs instead of NCHW 2D convs whose minor
+    spatial extent is 2..11 (pad-to-tile poison on TPU). Identical math
+    to the 2D stack; the LSGAN/FM losses are elementwise means, so the
+    (N*P, H, C) feature layout is free.
+    """
 
     period: int
     kernel_size: int = 5
     stride: int = 3
     channels: Sequence[int] = (32, 128, 512, 1024)
     precision: str = 'default'
+    # Per-layer conv backend (len(channels)+1 body layers + conv_post).
+    backends: Sequence[str] = ('xla',) * 6
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -79,27 +91,38 @@ class PeriodDiscriminator(nn.Module):
         pad = (-t) % self.period
         if pad:
             x = jnp.pad(x, [(0, 0), (0, 0), (0, pad)], mode='reflect')
-        x = x.reshape(n, c, (t + pad) // self.period, self.period)
+        h = (t + pad) // self.period
+        # (N, C, H, P) -> (N, P, H, C) -> (N*P, H, C): period into batch
+        x = x.reshape(n, c, h, self.period).transpose(0, 3, 2, 1) \
+             .reshape(n * self.period, h, c)
 
         features = []
         kpad = (self.kernel_size - 1) // 2
         in_ch = c
+
+        def feat(y):
+            # leading dim must be the true batch (losses and the batched
+            # real+fake pass slice feature maps along axis 0)
+            return y.reshape(n, self.period, y.shape[1], y.shape[2])
+
         for i, ch in enumerate(self.channels):
-            x = WNConv2d(in_ch, ch, (self.kernel_size, 1), (self.stride, 1),
-                         (kpad, 0), precision=self.precision,
-                         name='conv_%d' % i)(x)
-            x = nn.leaky_relu(x, 0.1)
-            features.append(x)
+            x = WNConv1d(in_ch, ch, self.kernel_size, stride=self.stride,
+                         padding=kpad, precision=self.precision,
+                         data_format='NTC', fused_slope=0.1,
+                         backend=self.backends[i], name='conv_%d' % i)(x)
+            features.append(feat(x))
             in_ch = ch
         top = self.channels[-1]
-        x = WNConv2d(in_ch, top, (self.kernel_size, 1), (1, 1), (kpad, 0),
-                     precision=self.precision,
+        x = WNConv1d(in_ch, top, self.kernel_size, padding=kpad,
+                     precision=self.precision, data_format='NTC',
+                     fused_slope=0.1, backend=self.backends[len(self.channels)],
                      name='conv_%d' % len(self.channels))(x)
-        x = nn.leaky_relu(x, 0.1)
-        features.append(x)
-        x = WNConv2d(top, 1, (3, 1), (1, 1), (1, 0),
-                     precision=self.precision, name='conv_post')(x)
-        features.append(x)
+        features.append(feat(x))
+        x = WNConv1d(top, 1, 3, padding=1, precision=self.precision,
+                     data_format='NTC',
+                     backend=self.backends[len(self.channels) + 1],
+                     name='conv_post')(x)
+        features.append(feat(x))
         return x.reshape(n, -1), features
 
 

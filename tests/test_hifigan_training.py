@@ -168,3 +168,49 @@ def test_hifigan_split_step_matches_fused(tmp_path):
         lambda a, b: float(jnp.abs(a - b).max()), p0, p1)))
     assert err < 1e-5
     assert set(m1.keys()) == set(m0.keys())   # same logging channels
+
+
+def test_period_discriminator_matches_2d_formulation():
+    """The NTC-1d MPD (period folded into batch) must equal the paper's
+    NCHW 2D (k,1)-conv stack exactly: same weights, same math, only the
+    layout differs (`discriminators.PeriodDiscriminator` docstring)."""
+    from pytorch_sound_tpu.models.vocoders.discriminators import (
+        PeriodDiscriminator)
+
+    n, t, period = 2, 1021, 3
+    wav = jnp.asarray(
+        np.random.default_rng(3).standard_normal((n, 1, t)), jnp.float32)
+    pd = PeriodDiscriminator(period, channels=(8, 16), precision='highest')
+    params = pd.init(jax.random.PRNGKey(2), wav)
+    score, feats = pd.apply(params, wav)
+
+    # independent 2D reference from the same parameters
+    pad = (-t) % period
+    x = jnp.pad(wav, [(0, 0), (0, 0), (0, pad)], mode='reflect')
+    h = (t + pad) // period
+    x = x.reshape(n, 1, h, period)   # NCHW
+    layer_specs = [('conv_0', 3, 2), ('conv_1', 3, 2), ('conv_2', 1, 2),
+                   ('conv_post', 1, 1)]
+    ref_feats = []
+    for name, stride, kpad in layer_specs:
+        p = params['params'][name]
+        v, g, b = p['v'], p['g'], p['bias']
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2), keepdims=True) + 1e-12)
+        w2d = (g * v / norm)[..., None]           # (O, I, K, 1)
+        x = jax.lax.conv_general_dilated(
+            x, w2d, (stride, 1), [(kpad, kpad), (0, 0)],
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+            precision=jax.lax.Precision.HIGHEST) + b[None, :, None, None]
+        if name != 'conv_post':
+            x = jnp.where(x > 0, x, 0.1 * x)
+        ref_feats.append(x)
+
+    assert len(feats) == len(ref_feats)
+    for got, ref in zip(feats, ref_feats):
+        # (N, C, H', P) -> (N*P, H', C)
+        ref_ntc = ref.transpose(0, 3, 2, 1).reshape(got.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref_ntc),
+                                   rtol=2e-5, atol=2e-5)
+    ref_score = ref_feats[-1].transpose(0, 3, 2, 1).reshape(n, -1)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(ref_score),
+                               rtol=2e-5, atol=2e-5)
