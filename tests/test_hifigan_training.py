@@ -214,3 +214,52 @@ def test_period_discriminator_matches_2d_formulation():
     ref_score = ref_feats[-1].transpose(0, 3, 2, 1).reshape(n, -1)
     np.testing.assert_allclose(np.asarray(score), np.asarray(ref_score),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_gen_loss_offtape_real_matches_concat_gradients(tmp_path):
+    """_gen_loss evaluates FM real targets in their own fwd-only pass; the
+    generator gradient must equal the batched-concat formulation's (the real
+    branch carries no gradient either way)."""
+    trainer = HiFiGANTrainer(
+        build_model('hifi_gan_v3', extra_kwargs={
+            'upsample_initial_channel': 32}),
+        build_model('hifi_gan_mpd_small'), build_model('hifi_gan_msd_small'),
+        optax.adamw(2e-4), optax.adamw(2e-4), None, None,
+        max_step=1, valid_max_step=1, save_interval=10, log_interval=10,
+        save_dir=str(tmp_path), save_prefix='t', seed=0)
+    rng = np.random.default_rng(5)
+    wav = rng.standard_normal((2, 2048)).astype(np.float32) * 0.1
+    trainer._ensure_initialized([jnp.asarray(wav)])
+    real = jnp.asarray(wav)[:, None, :]
+    from pytorch_sound_tpu.ops import mel as mel_ops
+    from pytorch_sound_tpu.examples.hifi_gan import MEL_KW
+    mel_real = mel_ops.hifigan_mel_spectrogram(jnp.asarray(wav), **MEL_KW)
+    dp = {'mpd': trainer.params['mpd'], 'msd': trainer.params['msd']}
+
+    def loss_now(gp):
+        return trainer._gen_loss(gp, dp, real, mel_real)[0]
+
+    def loss_concat(gp):
+        fake = trainer.generator.apply(gp, mel_real)
+        mel_fake = trainer._mel(fake[:, 0])
+        mel_l1 = jnp.mean(jnp.abs(mel_fake - mel_real))
+        real_ng = jax.lax.stop_gradient(real)
+        mpd_real, mpd_fake = trainer._disc_apply_both('mpd', dp, real_ng, fake)
+        msd_real, msd_fake = trainer._disc_apply_both('msd', dp, real_ng, fake)
+        adv = (gan_ops.generator_adversarial_loss(mpd_fake)
+               + gan_ops.generator_adversarial_loss(msd_fake))
+        fm = (gan_ops.feature_matching_loss(mpd_real, mpd_fake)
+              + gan_ops.feature_matching_loss(msd_real, msd_fake))
+        from pytorch_sound_tpu.examples.hifi_gan import LAMBDA_FM, LAMBDA_MEL
+        return adv + LAMBDA_FM * fm + LAMBDA_MEL * mel_l1
+
+    gp = trainer.params['gen']
+    l1, g1 = jax.value_and_grad(loss_now)(gp)
+    l2, g2 = jax.value_and_grad(loss_concat)(gp)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
