@@ -369,6 +369,12 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
             mel = fused_log_mel(w, *args, precision='bf16x3')
         else:
             mel = log_mel_spectrogram(w, *args)
+        if wire == 'int8':   # per-row affine quantization: 1/4 the D2H bytes
+            mn = jnp.min(mel, axis=(1, 2), keepdims=True)
+            mx = jnp.max(mel, axis=(1, 2), keepdims=True)
+            scale = jnp.maximum(mx - mn, 1e-6) / 254.0
+            q8 = jnp.round((mel - mn) / scale - 127.0).astype(jnp.int8)
+            return q8, jnp.concatenate([scale[:, 0, :], mn[:, 0, :]], axis=-1)
         return mel.astype(jnp.bfloat16) if wire == 'bf16' else mel
 
     def decode(chunk):
@@ -393,9 +399,16 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
         threading.Thread(target=producer, daemon=True).start()
 
         def fetch(dev):
-            # full D2H materialization + the host-side f32 re-expansion the
-            # real extract_features pays before np.save
-            float(np.asarray(dev).astype(np.float32).ravel()[0])
+            # full D2H materialization + the host-side dequant/re-expansion
+            # the real extract_features pays before np.save
+            if isinstance(dev, tuple):
+                q8, aff = dev
+                aff = np.asarray(aff)
+                mel = (np.asarray(q8).astype(np.float32) + 127.0) \
+                    * aff[:, :1, None] + aff[:, 1:, None]
+                float(mel.ravel()[0])
+            else:
+                float(np.asarray(dev).astype(np.float32).ravel()[0])
 
         pending = None
         while True:
@@ -665,6 +678,8 @@ def main():
             'fused_vs_xla_ratio': dl_fused / dl_xla,
             'fused_f32_vs_xla_ratio': dl_f32 / dl_xla}
         details['preprocess_e2e_utterances_per_sec'] = bench_preprocess_e2e()
+        details['preprocess_e2e_utterances_per_sec_int8'] = \
+            bench_preprocess_e2e(wire='int8')
     except Exception as e:
         details['preprocess_error'] = repr(e)
     try:

@@ -605,11 +605,13 @@ class Processor:
         per-utterance (80, T) .npy f32 features at settings.py defaults —
         BASELINE config 1 with ALL DSP on-chip.
 
-        ``wire`` ('bf16' | 'f32') is the device->host feature transfer dtype.
-        The tunnel's D2H link is the e2e bottleneck (~40 MB/s); 'bf16'
-        halves the dominant cost for ~3 decimal digits of log-mel precision
-        (|err| <= ~0.004 of the [-1, 1] normalized range); features are
-        re-expanded to f32 before np.save.
+        ``wire`` ('bf16' | 'f32' | 'int8') is the device->host feature
+        transfer dtype. The tunnel's D2H link is the e2e bottleneck
+        (~40 MB/s); 'bf16' halves the dominant cost for ~3 decimal digits
+        of log-mel precision (8 mantissa bits: |err| <= ~0.004 relative),
+        'int8' quarters it with per-row affine min/max quantization
+        (|err| <= range/254, ~0.03 absolute for typical log-mel ranges);
+        features are re-expanded to f32 before np.save.
 
         Files are grouped by source sample rate (header-only reads) so each
         group compiles one static-shape device program.
@@ -680,7 +682,24 @@ class Processor:
                     mel = fused_log_mel(y, *args, precision=precision)
                 else:
                     mel = log_mel_spectrogram(y, *args)
-                # D2H is the e2e wall (~40 MB/s tunnel); bf16 halves it
+                # D2H is the e2e wall (~40 MB/s tunnel); bf16 halves it,
+                # int8 (per-row affine min/max quantization) quarters it
+                if wire == 'int8':
+                    # range over each row's VALID frames only (padded-tail
+                    # frames sit at MIN_DB and would inflate the range)
+                    n_fr = lengths // hop + 1
+                    valid = (jnp.arange(mel.shape[2])[None, None, :]
+                             < n_fr[:, None, None])
+                    mn = jnp.min(jnp.where(valid, mel, jnp.inf),
+                                 axis=(1, 2), keepdims=True)
+                    mx = jnp.max(jnp.where(valid, mel, -jnp.inf),
+                                 axis=(1, 2), keepdims=True)
+                    scale = jnp.maximum(mx - mn, 1e-6) / 254.0
+                    q = jnp.round(
+                        (jnp.clip(mel, mn, mx) - mn) / scale - 127.0
+                    ).astype(jnp.int8)
+                    return q, jnp.concatenate(
+                        [scale[:, 0, :], mn[:, 0, :]], axis=-1)   # (B, 2)
                 return mel.astype(jnp.bfloat16) if wire == 'bf16' else mel
 
             # source-rate samples that cover the mel's centered half-window
@@ -739,7 +758,14 @@ class Processor:
             threading.Thread(target=producer, daemon=True).start()
 
             def write_out(mel_dev, lens, names):
-                mel = np.asarray(mel_dev)   # blocks until the device is done
+                if isinstance(mel_dev, tuple):  # int8 wire: dequantize
+                    q, aff = mel_dev
+                    aff = np.asarray(aff)       # blocks until device done
+                    scale, mn = aff[:, :1, None], aff[:, 1:, None]
+                    mel = (np.asarray(q).astype(np.float32) + 127.0) \
+                        * scale + mn
+                else:
+                    mel = np.asarray(mel_dev)   # blocks until device done
                 if mel.dtype != np.float32:     # re-expand the bf16 wire
                     mel = mel.astype(np.float32)
                 for i, (n, name) in enumerate(zip(lens, names)):

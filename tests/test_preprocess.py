@@ -162,11 +162,14 @@ def test_extract_features_bf16_wire_accuracy(tmp_path):
               (0.1 * rng.standard_normal(sr)).astype(np.float32), sr)
 
     outs = {}
-    for wire in ('bf16', 'f32'):
+    for wire in ('bf16', 'f32', 'int8'):
         out_dir = str(tmp_path / ('out_' + wire))
         Processor.extract_features(in_dir, out_dir, batch_size=1,
                                    pad_seconds=1.5, wire=wire)
         outs[wire] = np.load(os.path.join(out_dir, 'a.mel.npy'))
-    assert outs['bf16'].dtype == outs['f32'].dtype == np.float32
+    assert all(o.dtype == np.float32 for o in outs.values())
     # log-mel range here is ~[-12, 3]; bf16 has 8 mantissa bits
     assert np.abs(outs['bf16'] - outs['f32']).max() < 0.05
+    # int8 wire: per-row affine quantization, |err| <= range/254
+    rng_span = outs['f32'].max() - outs['f32'].min()
+    assert np.abs(outs['int8'] - outs['f32']).max() <= rng_span / 254 + 1e-6
