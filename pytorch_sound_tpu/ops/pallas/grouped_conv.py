@@ -45,6 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 MAX_TILE = 512          # out rows per program (M of the matmul)
 
+# Executor tuning knobs (A/B-able per process without code changes):
+#   PSTPU_GC_TAP_MODE: 'slice' (default) feeds each tap's LHS as a
+#     sublane-offset slice of the scratch block; 'rot8' materializes the
+#     <=8 sublane-phase rotations once so every tap reads an 8-ALIGNED
+#     slice (j_taps misaligned reads -> min(8, j) rotations).
+#   PSTPU_GC_XWIRE: 'f32' (default) DMAs the phase-folded input as f32;
+#     'bf16' halves the HBM->VMEM bytes (inputs are cast to bf16 for the
+#     MXU in 'default' precision anyway, so 'bf16' only moves the rounding
+#     before the DMA).
+import os as _os
+
+TAP_MODE = _os.environ.get('PSTPU_GC_TAP_MODE', 'slice')
+X_WIRE = _os.environ.get('PSTPU_GC_XWIRE', 'f32')
+
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
@@ -240,9 +254,14 @@ def _pack_dx_taps(w: jnp.ndarray, gp: int, e_g: int, s_in: int, pad: int,
 # executor
 # -----------------------------------------------------------------------------
 
-def _kernel(x_ref, taps_ref, bias_ref, out_ref, scr, sem, *,
+def _kernel(x_ref, taps_ref, bias_ref, out_ref, *scratch,
             tile: int, j_taps: int, n_slabs: int, lo_mm: int, r_s: int,
-            precision: str, slope: Optional[float], has_bias: bool):
+            precision: str, slope: Optional[float], has_bias: bool,
+            tap_mode: str, rot_rows: int):
+    if tap_mode == 'rot8':
+        scr, rot, sem = scratch
+    else:
+        (scr, sem), rot = scratch, None
     b = pl.program_id(0)
     o = pl.program_id(1)
     t = pl.program_id(2)
@@ -257,14 +276,26 @@ def _kernel(x_ref, taps_ref, bias_ref, out_ref, scr, sem, *,
     dma.wait()
     xs = scr[...]
     if precision == 'default':
-        xs = xs.astype(jnp.bfloat16)
+        if xs.dtype != jnp.bfloat16:
+            xs = xs.astype(jnp.bfloat16)
         kw = dict(preferred_element_type=jnp.float32)
     else:
         kw = dict(preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
     acc = jnp.zeros((tile, lo_mm), jnp.float32)
-    for j in range(j_taps):
-        acc = acc + jnp.dot(xs[j:j + tile], taps_ref[0, j], **kw)
+    if tap_mode == 'rot8':
+        # materialize the <=8 sublane-phase rotations ONCE; every tap then
+        # reads an 8-aligned slice (j_taps misaligned reads -> min(8, j)
+        # rotations)
+        for r in range(min(8, j_taps)):
+            rot[r] = jnp.pad(xs[r:], ((0, r), (0, 0)))[:rot_rows]
+        for j in range(j_taps):
+            q8, r = divmod(j, 8)
+            acc = acc + jnp.dot(rot[r, 8 * q8:8 * q8 + tile],
+                                taps_ref[0, j], **kw)
+    else:
+        for j in range(j_taps):
+            acc = acc + jnp.dot(xs[j:j + tile], taps_ref[0, j], **kw)
     if has_bias:
         acc = acc + bias_ref[0, 0][None, :]
     if slope is not None:
@@ -323,11 +354,25 @@ def _shifted_matmul(x_ph: jnp.ndarray, taps: jnp.ndarray,
         bias = jnp.zeros((n_out_tiles, 1, lo_mm), jnp.float32)
     if precision == 'default':
         taps = taps.astype(jnp.bfloat16)
+        if X_WIRE == 'bf16':
+            # halve the HBM->VMEM scratch DMA; the MXU consumes bf16 in
+            # 'default' precision anyway (rounding moves before the DMA)
+            x_ph = x_ph.astype(jnp.bfloat16)
+    tap_mode = 'rot8' if TAP_MODE == 'rot8' else 'slice'
+    n_q8 = _cdiv(j_taps, 8)
+    rot_rows = _round_up(tile + 8 * (n_q8 - 1), 8)
 
     kernel = functools.partial(
         _kernel, tile=tile, j_taps=j_taps, n_slabs=n_slabs,
         lo_mm=lo_mm, r_s=r_s, precision=precision, slope=slope,
-        has_bias=has_bias)
+        has_bias=has_bias, tap_mode=tap_mode, rot_rows=rot_rows)
+    scratch_shapes = [pltpu.VMEM((r_s, lx), x_ph.dtype)]
+    if tap_mode == 'rot8':
+        rot_dtype = (jnp.bfloat16 if precision == 'default'
+                     else jnp.float32)
+        scratch_shapes.append(
+            pltpu.VMEM((min(8, j_taps), rot_rows, lx), rot_dtype))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA)
     out = pl.pallas_call(
         kernel,
         grid=(n, n_out_tiles, n_tiles),
@@ -340,10 +385,7 @@ def _shifted_matmul(x_ph: jnp.ndarray, taps: jnp.ndarray,
                                lambda b, o, t: (b, t, o)),
         out_shape=jax.ShapeDtypeStruct(
             (n, n_tiles * tile, n_out_tiles * lo_mm), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((r_s, lx), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),

@@ -246,3 +246,44 @@ def test_conv_transpose_golden_torch():
                                interpret=True)
     np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), ref,
                                atol=1e-5)
+
+
+@pytest.mark.parametrize('tap_mode,x_wire', [
+    ('rot8', 'f32'), ('slice', 'bf16'), ('rot8', 'bf16')])
+@pytest.mark.parametrize('ci,co,k,s,g,t', [
+    (128, 128, 41, 2, 4, 512),     # folded, j_taps 7
+    (1024, 1024, 41, 1, 8, 64),    # unfolded, j_taps 41 (multi-q rot8)
+    (64, 64, 15, 1, 1, 96),        # dense fold
+])
+def test_executor_knob_parity(tap_mode, x_wire, ci, co, k, s, g, t,
+                              monkeypatch):
+    """The PSTPU_GC_TAP_MODE / PSTPU_GC_XWIRE executor knobs preserve
+    numerics: 'rot8' is exact vs 'slice' (same matmuls, aligned reads);
+    'bf16' x-wire only moves the bf16 rounding before the DMA."""
+    import pytorch_sound_tpu.ops.pallas.grouped_conv as gc
+    pad = 20 if k == 41 else (k - 1) // 2
+    x, w, b = _make(ci, co, k, g, t)
+    base = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad, groups=g,
+                              slope=SLOPE, precision='default',
+                              interpret=True)
+    monkeypatch.setattr(gc, 'TAP_MODE', tap_mode)
+    monkeypatch.setattr(gc, 'X_WIRE', x_wire)
+    out = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad, groups=g,
+                             slope=SLOPE, precision='default',
+                             interpret=True)
+    assert out.shape == base.shape
+    if x_wire == 'f32':
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=1e-6)   # bit-identical matmuls
+    else:
+        # bf16 rounding of x before (vs after) the DMA: same precision class
+        ref = _xla_ref(x, w, b, s, pad, g)
+        rel = np.abs(np.asarray(out) - np.asarray(ref)).max() / \
+            max(1e-6, np.abs(np.asarray(ref)).max())
+        assert rel < 2e-2, rel
+    # 'highest' must ignore the bf16 x-wire (parity contract)
+    hi = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad, groups=g,
+                            slope=SLOPE, precision='highest',
+                            interpret=True)
+    ref = _xla_ref(x, w, b, s, pad, g)
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(ref), atol=2e-5)
