@@ -516,8 +516,12 @@ def _dx_impl(gbar, w, stride, padding, groups, dilation, t_in, precision,
     return raw[:, :t_in, :cin]
 
 
-def _dw_kernel(x_ref, g_ref, out_ref, scr, sem, *, tile, j_taps,
-               n_slabs, lo_mm, r_s, precision):
+def _dw_kernel(x_ref, g_ref, out_ref, *scratch, tile, j_taps,
+               n_slabs, lo_mm, r_s, precision, tap_mode, rot_rows):
+    if tap_mode == 'rot8':
+        scr, rot, sem = scratch
+    else:
+        (scr, sem), rot = scratch, None
     b = pl.program_id(1)
     o = pl.program_id(0)
     t = pl.program_id(2)
@@ -538,15 +542,24 @@ def _dw_kernel(x_ref, g_ref, out_ref, scr, sem, *, tile, j_taps,
     xs = scr[...]
     g = g_ref[0, 0]
     if precision == 'default':
-        xs = xs.astype(jnp.bfloat16)
+        if xs.dtype != jnp.bfloat16:
+            xs = xs.astype(jnp.bfloat16)
         g = g.astype(jnp.bfloat16)
         kw = dict(preferred_element_type=jnp.float32)
     else:
         kw = dict(preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
     dn = (((0,), (0,)), ((), ()))
-    for j in range(j_taps):
-        out_ref[0, j] += jax.lax.dot_general(xs[j:j + tile], g, dn, **kw)
+    if tap_mode == 'rot8':
+        for r in range(min(8, j_taps)):
+            rot[r] = jnp.pad(xs[r:], ((0, r), (0, 0)))[:rot_rows]
+        for j in range(j_taps):
+            q8, r = divmod(j, 8)
+            out_ref[0, j] += jax.lax.dot_general(
+                rot[r, 8 * q8:8 * q8 + tile], g, dn, **kw)
+    else:
+        for j in range(j_taps):
+            out_ref[0, j] += jax.lax.dot_general(xs[j:j + tile], g, dn, **kw)
 
 
 def _dw_impl(x, gbar, w_shape, stride, padding, groups, dilation,
@@ -581,9 +594,21 @@ def _dw_impl(x, gbar, w_shape, stride, padding, groups, dilation,
     if lx != lx_real:
         x_ph = jnp.pad(x_ph, [(0, 0), (0, 0), (0, 0), (0, lx - lx_real)])
 
+    if precision == 'default' and X_WIRE == 'bf16':
+        x_ph = x_ph.astype(jnp.bfloat16)
+    tap_mode = 'rot8' if TAP_MODE == 'rot8' else 'slice'
+    n_q8 = _cdiv(j_taps, 8)
+    rot_rows = _round_up(tile + 8 * (n_q8 - 1), 8)
     kernel = functools.partial(
         _dw_kernel, tile=tile, j_taps=j_taps, n_slabs=n_slabs,
-        lo_mm=lo_mm, r_s=r_s, precision=precision)
+        lo_mm=lo_mm, r_s=r_s, precision=precision, tap_mode=tap_mode,
+        rot_rows=rot_rows)
+    scratch_shapes = [pltpu.VMEM((r_s, lx), x_ph.dtype)]
+    if tap_mode == 'rot8':
+        scratch_shapes.append(pltpu.VMEM(
+            (min(8, j_taps), rot_rows, lx),
+            jnp.bfloat16 if precision == 'default' else jnp.float32))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA)
     taps_grad = pl.pallas_call(
         kernel,
         grid=(n_out, n, n_tiles),
@@ -595,10 +620,7 @@ def _dw_impl(x, gbar, w_shape, stride, padding, groups, dilation,
                                lambda o, b, t: (o, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_out, j_taps, lx, lo_mm),
                                        jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((r_s, lx), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary')),

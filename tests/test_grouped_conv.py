@@ -287,3 +287,31 @@ def test_executor_knob_parity(tap_mode, x_wire, ci, co, k, s, g, t,
                             interpret=True)
     ref = _xla_ref(x, w, b, s, pad, g)
     np.testing.assert_allclose(np.asarray(hi), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize('ci,co,k,s,g,t', [
+    (128, 128, 41, 2, 4, 512),
+    (1024, 1024, 41, 1, 8, 64),    # j_taps 41: multi-rotation dw/dx
+])
+def test_executor_knob_vjp_parity(ci, co, k, s, g, t, monkeypatch):
+    """rot8 + bf16-wire knobs preserve the custom VJP (dx, dw, db)."""
+    import pytorch_sound_tpu.ops.pallas.grouped_conv as gc
+    monkeypatch.setattr(gc, 'TAP_MODE', 'rot8')
+    monkeypatch.setattr(gc, 'X_WIRE', 'bf16')
+    pad = 20
+    x, w, b = _make(ci, co, k, g, t, seed=2)
+
+    def loss_p(x, w, b):
+        out = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad, groups=g,
+                                 slope=SLOPE, precision='highest',
+                                 interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_r(x, w, b):
+        return jnp.sum(jnp.sin(_xla_ref(x, w, b, s, pad, g)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w, b)
+    for name, a, r in zip(('dx', 'dw', 'db'), gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=3e-4,
+                                   err_msg=name)
