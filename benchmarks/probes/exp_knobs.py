@@ -1,0 +1,75 @@
+"""Full-MSD-stack timing per grouped-conv executor knob combo.
+
+Times msd.apply (fwd) and grad-wrt-params (fwd+dx+dw) at the GAN disc-phase
+shape (B=32, T=8192) with backends all-'auto' (everything eligible rides the
+Pallas kernel) for each (TAP_MODE, X_WIRE) combo, plus the all-XLA mask as
+the baseline. The winner becomes the kernel default + informs the MSD mask.
+"""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))); sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import numpy as np, jax, jax.numpy as jnp
+from pytorch_sound_tpu.utils.commons import enable_compilation_cache
+enable_compilation_cache()
+import pytorch_sound_tpu.ops.pallas.grouped_conv as gc
+import pytorch_sound_tpu.models.vocoders.discriminators as disc
+from timing import slope_timeit
+
+B, T = 32, 8192
+rng = np.random.default_rng(0)
+wav = jnp.asarray(rng.standard_normal((B, 1, T)).astype(np.float32) * 0.1)
+
+
+def time_stack(backends, tap_mode, x_wire):
+    gc.TAP_MODE, gc.X_WIRE = tap_mode, x_wire
+    msd = disc.MultiScaleDiscriminator(n_scales=3, width=1.0,
+                                       backends=backends)
+    params = msd.init(jax.random.PRNGKey(0), wav[:2])
+
+    def fwd(x):
+        outs = msd.apply(params, x)
+        return sum(jnp.sum(s * s) for s, _ in outs) * 1e-6
+
+    def mk_f(c):
+        x, = c
+        s = fwd(x)
+        return (x * (1.0 + 1e-6 * jnp.tanh(s)),), s
+
+    def loss(p, x):
+        outs = msd.apply(p, x)
+        l = 0.0
+        for sc, feats in outs:
+            l = l + jnp.mean((1.0 - sc) ** 2)
+            for f in feats:
+                l = l + 1e-3 * jnp.mean(jnp.abs(f))
+        return l
+
+    g = jax.grad(loss)
+
+    def mk_b(c):
+        x, = c
+        gr = g(params, x)
+        s = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(gr)) * 1e-6
+        return (x * (1.0 + 1e-6 * jnp.tanh(s)),), s
+
+    tf = slope_timeit(mk_f, (wav,), n1=6, n2=18)
+    tb = slope_timeit(mk_b, (wav,), n1=4, n2=12)
+    return tf, tb
+
+
+COMBOS = [
+    (('xla',) * 8, 'slice', 'f32', 'all-XLA baseline'),
+    (('auto',) * 8, 'slice', 'f32', 'kernel (shipped)'),
+    (('auto',) * 8, 'rot8', 'f32', 'kernel rot8'),
+    (('auto',) * 8, 'slice', 'bf16', 'kernel bf16-wire'),
+    (('auto',) * 8, 'rot8', 'bf16', 'kernel rot8+bf16'),
+    (('auto', 'auto') + ('xla',) * 6, 'rot8', 'bf16',
+     'tuned mask + rot8+bf16'),
+]
+for backends, tm, xw, label in COMBOS:
+    try:
+        tf, tb = time_stack(backends, tm, xw)
+        print('%-24s fwd %7.2f ms   fwd+dx+dw %7.2f ms' %
+              (label, tf * 1e3, tb * 1e3), flush=True)
+    except Exception as e:
+        print('%-24s FAILED %r' % (label, str(e)[:140]), flush=True)
