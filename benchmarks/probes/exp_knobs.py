@@ -57,6 +57,26 @@ def time_stack(backends, tap_mode, x_wire):
     return tf, tb
 
 
+
+def parity_gate(tap_mode, x_wire):
+    """Compiled parity of the kernel path vs the XLA mask on one batch."""
+    gc.TAP_MODE, gc.X_WIRE = tap_mode, x_wire
+    small = wav[:4]
+    msd_k = disc.MultiScaleDiscriminator(n_scales=3, width=1.0,
+                                         backends=('auto',) * 8)
+    msd_x = disc.MultiScaleDiscriminator(n_scales=3, width=1.0,
+                                         backends=('xla',) * 8)
+    params = msd_k.init(jax.random.PRNGKey(0), small)
+    ok = True
+    outs_k = msd_k.apply(params, small)
+    outs_x = msd_x.apply(params, small)
+    for (sk, fk), (sx, fx) in zip(outs_k, outs_x):
+        rel = float(jnp.abs(sk - sx).max() / (jnp.abs(sx).max() + 1e-9))
+        ok = ok and rel < 3e-2
+    print('  parity(%s,%s): %s' % (tap_mode, x_wire,
+                                   'ok' if ok else 'FAILED'), flush=True)
+    return ok
+
 COMBOS = [
     (('xla',) * 8, 'slice', 'f32', 'all-XLA baseline'),
     (('auto',) * 8, 'slice', 'f32', 'kernel (shipped)'),
@@ -68,6 +88,9 @@ COMBOS = [
 ]
 for backends, tm, xw, label in COMBOS:
     try:
+        if 'auto' in backends and not parity_gate(tm, xw):
+            print('%-24s SKIPPED (parity failed)' % label, flush=True)
+            continue
         tf, tb = time_stack(backends, tm, xw)
         print('%-24s fwd %7.2f ms   fwd+dx+dw %7.2f ms' %
               (label, tf * 1e3, tb * 1e3), flush=True)
