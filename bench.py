@@ -11,11 +11,39 @@ VoiceBank enhancement config) are measured too and written to
 BENCH_DETAILS.json; stdout carries exactly one JSON line.
 """
 
+import contextlib
 import json
+import signal
 import sys
 import time
 
 import numpy as np
+
+
+class _SectionTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def _deadline(seconds: int):
+    """Raise inside the section if it exceeds ``seconds``.
+
+    The axon tunnel can die mid-run (observed: 9+ hour outages) leaving a
+    dispatch blocked forever; a SIGALRM-backed deadline converts the hang
+    into an exception so main() still emits its one-line JSON with every
+    other section's numbers. Main-thread only (bench main is). A dispatch
+    stuck in non-GIL-releasing C code can still block — this bounds the
+    common gRPC-wait case, not every possible hang."""
+    def _handler(signum, frame):
+        raise _SectionTimeout('bench section exceeded %ds' % seconds)
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _timeit(fn, warmup: int = 2, iters: int = 20) -> float:
@@ -645,6 +673,7 @@ def main():
 
     details = {}
     try:
+      with _deadline(1800):
         # headline = f32-HIGHEST (parity <=1e-5 vs flax on the real
         # checkpoint); bf16x3 is the fast preview mode (~35 dB SNR vs f32,
         # measured per run below) and is recorded alongside, not as headline
@@ -659,6 +688,7 @@ def main():
     except Exception as e:   # keep the one-line contract even on failure
         details['vocoder_error'] = repr(e)
     try:
+      with _deadline(1800):
         details['preprocess_utterances_per_sec_chained'] = bench_preprocess(
             fused=True)
         details['preprocess_utterances_per_sec_chained_xla'] = bench_preprocess(
@@ -683,15 +713,18 @@ def main():
     except Exception as e:
         details['preprocess_error'] = repr(e)
     try:
+      with _deadline(1200):
         details['trainer_steps_per_sec_enhancement'] = bench_trainer()
         details['trainer_steps_per_sec'] = details['trainer_steps_per_sec_enhancement']
     except Exception as e:
         details['trainer_error'] = repr(e)
     try:
+      with _deadline(1800):
         details['flash_attention_compiled'] = bench_flash_attention()
     except Exception as e:
         details['flash_attention_error'] = repr(e)
     try:
+      with _deadline(5400):
         details['trainer_steps_per_sec_vctk_gan'] = bench_trainer_vctk_gan()
     except Exception as e:
         details['trainer_vctk_gan_error'] = repr(e)

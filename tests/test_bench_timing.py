@@ -50,3 +50,20 @@ def test_slope_timing_all_corrupt_falls_back_bounded():
     step = _make_step(0.001, spikes)
     dt = _timeit_chained_slope(step, 0.0, n1=1, n2=3, warmup=0, trials=2)
     assert dt > 0
+
+
+def test_deadline_fires_and_clears():
+    import time
+
+    import bench
+
+    try:
+        with bench._deadline(1):
+            time.sleep(2.5)
+        raised = False
+    except bench._SectionTimeout:
+        raised = True
+    assert raised
+    with bench._deadline(5):
+        time.sleep(0.05)
+    time.sleep(1.1)   # a stray alarm would raise here
