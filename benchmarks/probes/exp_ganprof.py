@@ -65,6 +65,12 @@ timed('mpd fwd+bwd (B=32)',
 timed('gen fwd (B=16)', lambda p, m: gen.apply(gen_p, m).mean(), mel0)
 timed('gen fwd+bwd (B=16)',
       lambda p, m: gen.apply(gen_p, m).mean(), mel0, grad=True)
+gen_ntc = build_model('hifi_gan_v2', extra_kwargs=dict(data_format='NTC'))
+genn_p = gen_ntc.init(jax.random.PRNGKey(2), mel0)
+timed('gen NTC fwd (B=16)',
+      lambda p, m: gen_ntc.apply(genn_p, m).mean(), mel0)
+timed('gen NTC fwd+bwd (B=16)',
+      lambda p, m: gen_ntc.apply(genn_p, m).mean(), mel0, grad=True)
 timed('mel (B=16)',
       lambda p, x: mel_ops.hifigan_mel_spectrogram(x, **MEL_KW).mean(),
       wav[:16, 0])
