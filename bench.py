@@ -671,6 +671,31 @@ def main():
     from pytorch_sound_tpu.utils.commons import enable_compilation_cache
     enable_compilation_cache()
 
+    # Upfront backend probe in a SUBPROCESS with a hard timeout: with the axon
+    # tunnel dead, jax.devices() hangs indefinitely (observed 12h outage) and
+    # the hang sits in native code where SIGALRM can't interrupt — fail fast
+    # and still emit the one-line JSON contract instead of burning every
+    # section's deadline first.
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            timeout=240, check=True, capture_output=True)
+        import jax
+        with _deadline(240):
+            backend = jax.default_backend()
+            device = str(jax.devices()[0])
+    except Exception as e:
+        details = {'backend_init_error': repr(e)}
+        with open('BENCH_DETAILS.json', 'w') as w:
+            json.dump(details, w, indent=2)
+        print(json.dumps({
+            'metric': 'vocoder_samples_per_sec', 'value': 0.0,
+            'unit': 'samples/sec', 'vs_baseline': 0.0,
+            'error': 'backend init failed: %r' % (e,)}))
+        return
+
     details = {}
     try:
       with _deadline(1800):
@@ -729,9 +754,8 @@ def main():
     except Exception as e:
         details['trainer_vctk_gan_error'] = repr(e)
 
-    import jax
-    details['backend'] = jax.default_backend()
-    details['device'] = str(jax.devices()[0])
+    details['backend'] = backend
+    details['device'] = device
 
     with open('BENCH_DETAILS.json', 'w') as w:
         json.dump(details, w, indent=2)

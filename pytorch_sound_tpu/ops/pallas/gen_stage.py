@@ -410,8 +410,8 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
         kernel,
         grid=(n // pack, t_pad // tile_t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # xlo stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),        # xhi stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # xlo stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # xhi stays in HBM
             _const_spec(up_lo),
             _const_spec(up_hi),
             pl.BlockSpec((1, width), lambda b, i: (0, 0)),

@@ -377,7 +377,7 @@ def _shifted_matmul(x_ph: jnp.ndarray, taps: jnp.ndarray,
         kernel,
         grid=(n, n_out_tiles, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, j_taps, lx, lo_mm), lambda b, o, t: (o, 0, 0, 0)),
             pl.BlockSpec((1, 1, lo_mm), lambda b, o, t: (o, 0, 0)),
         ],
@@ -613,7 +613,7 @@ def _dw_impl(x, gbar, w_shape, stride, padding, groups, dilation,
         kernel,
         grid=(n_out, n, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, tile, lo_mm), lambda o, b, t: (b, o, t, 0)),
         ],
         out_specs=pl.BlockSpec((1, j_taps, lx, lo_mm),

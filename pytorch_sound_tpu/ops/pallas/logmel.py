@@ -230,7 +230,7 @@ def fused_log_mel(wav: jnp.ndarray, sample_rate: int = 22050, mel_size: int = 80
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),            # wav stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),            # wav stays in HBM
             pl.BlockSpec(cos_b.shape, lambda i, j: (0,) * cos_b.ndim,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(sin_b.shape, lambda i, j: (0,) * sin_b.ndim,

@@ -191,7 +191,7 @@ def fused_resblock_stage(x: jnp.ndarray, params: dict, channels: int,
         kernel,
         grid=(n // pack, t_pad // tile_t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM
             pl.BlockSpec(taps.shape, lambda b, i: (0, 0, 0)),
             pl.BlockSpec(bias_arr.shape, lambda b, i: (0, 0)),
         ],

@@ -21,10 +21,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pytorch_sound_tpu.ops.attention import combine_attention_partials
 
-try:   # jax >= 0.4.35
+try:   # jax >= 0.6 canonical location (kwarg renamed check_rep -> check_vma)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        kw['check_vma'] = kw.pop('check_rep', kw.pop('check_vma', True))
+        return _shard_map(f, **kw)
+except ImportError:   # older jax
     from jax.experimental.shard_map import shard_map
-except ImportError:   # newer location
-    from jax.shard_map import shard_map
 
 
 def _local_partials(q, k, v, scale):
