@@ -20,8 +20,9 @@ rng = np.random.default_rng(0)
 wav = jnp.asarray(rng.standard_normal((B, 1, T)).astype(np.float32) * 0.1)
 
 
-def time_stack(backends, tap_mode, x_wire):
+def time_stack(backends, tap_mode, x_wire, cost='rate', fold='auto'):
     gc.TAP_MODE, gc.X_WIRE = tap_mode, x_wire
+    gc.COST_MODE, gc.BATCH_FOLD = cost, fold
     msd = disc.MultiScaleDiscriminator(n_scales=3, width=1.0,
                                        backends=backends)
     params = msd.init(jax.random.PRNGKey(0), wav[:2])
@@ -58,9 +59,10 @@ def time_stack(backends, tap_mode, x_wire):
 
 
 
-def parity_gate(tap_mode, x_wire):
+def parity_gate(tap_mode, x_wire, cost='rate', fold='auto'):
     """Compiled parity of the kernel path vs the XLA mask on one batch."""
     gc.TAP_MODE, gc.X_WIRE = tap_mode, x_wire
+    gc.COST_MODE, gc.BATCH_FOLD = cost, fold
     small = wav[:4]
     msd_k = disc.MultiScaleDiscriminator(n_scales=3, width=1.0,
                                          backends=('auto',) * 8)
@@ -77,21 +79,24 @@ def parity_gate(tap_mode, x_wire):
                                    'ok' if ok else 'FAILED'), flush=True)
     return ok
 
+# (backends, tap_mode, x_wire, cost_model, batch_fold, label)
 COMBOS = [
-    (('xla',) * 8, 'slice', 'f32', 'all-XLA baseline'),
-    (('auto',) * 8, 'slice', 'f32', 'kernel (shipped)'),
-    (('auto',) * 8, 'rot8', 'f32', 'kernel rot8'),
-    (('auto',) * 8, 'slice', 'bf16', 'kernel bf16-wire'),
-    (('auto',) * 8, 'rot8', 'bf16', 'kernel rot8+bf16'),
-    (('auto', 'auto') + ('xla',) * 6, 'rot8', 'bf16',
-     'tuned mask + rot8+bf16'),
+    (('xla',) * 8, 'slice', 'f32', 'macs', 'never', 'all-XLA baseline'),
+    (('auto',) * 8, 'slice', 'f32', 'macs', 'never', 'kernel r2 planner'),
+    (('auto',) * 8, 'slice', 'f32', 'rate', 'auto', 'kernel rate+fold'),
+    (('auto',) * 8, 'slice', 'f32', 'rate', 'never', 'kernel rate only'),
+    (('auto',) * 8, 'slice', 'f32', 'macs', 'auto', 'kernel fold only'),
+    (('auto',) * 8, 'rot8', 'bf16', 'rate', 'auto', 'rate+fold rot8+bf16'),
+    (('auto',) * 8, 'rot8', 'bf16', 'macs', 'never', 'r2 rot8+bf16'),
+    (('auto', 'auto') + ('xla',) * 6, 'rot8', 'bf16', 'rate', 'auto',
+     'tuned mask rate+fold'),
 ]
-for backends, tm, xw, label in COMBOS:
+for backends, tm, xw, cm, bf, label in COMBOS:
     try:
-        if 'auto' in backends and not parity_gate(tm, xw):
+        if 'auto' in backends and not parity_gate(tm, xw, cm, bf):
             print('%-24s SKIPPED (parity failed)' % label, flush=True)
             continue
-        tf, tb = time_stack(backends, tm, xw)
+        tf, tb = time_stack(backends, tm, xw, cm, bf)
         print('%-24s fwd %7.2f ms   fwd+dx+dw %7.2f ms' %
               (label, tf * 1e3, tb * 1e3), flush=True)
     except Exception as e:

@@ -272,17 +272,23 @@ def main():
                 return (a * (1.0 + 1e-5 * jnp.tanh(s)),), s
             return slope_timeit(mk, (arg,), n1=8, n2=24)
 
-        # -- library paths
-        for bk in ('pallas', 'xla'):
+        # -- library paths (pallas under both planner-knob combos)
+        for bk, cm, bf in (('pallas', 'macs', 'never'),
+                           ('pallas', 'rate', 'auto'),
+                           ('xla', None, None)):
+            label = bk if cm is None else '%s %s/%s' % (bk, cm, bf)
+            if cm is not None:
+                gc.COST_MODE, gc.BATCH_FOLD = cm, bf
             try:
                 fn = lambda a: gc.grouped_conv1d_ntc(
                     a, w, None, stride=stride, padding=pad, groups=groups,
                     backend=bk)
                 dt = t_of(fn, x)
-                print('  %-10s %8.3f ms  %6.1f TF/s' %
-                      (bk, dt * 1e3, tflop / dt), flush=True)
+                print('  %-18s %8.3f ms  %6.1f TF/s' %
+                      (label, dt * 1e3, tflop / dt), flush=True)
             except Exception as e:
-                print('  %-10s FAILED %r' % (bk, str(e)[:120]), flush=True)
+                print('  %-18s FAILED %r' % (label, str(e)[:120]), flush=True)
+        gc.COST_MODE, gc.BATCH_FOLD = 'rate', 'auto'
 
         # -- XLA formulations
         wd = np.zeros((cout, cin, k), np.float32)

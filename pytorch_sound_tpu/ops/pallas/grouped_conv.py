@@ -54,10 +54,23 @@ MAX_TILE = 512          # out rows per program (M of the matmul)
 #     'bf16' halves the HBM->VMEM bytes (inputs are cast to bf16 for the
 #     MXU in 'default' precision anyway, so 'bf16' only moves the rounding
 #     before the DMA).
+#   PSTPU_GC_COST: 'rate' (default) scales the planner's executed-MAC cost
+#     by the measured lane-width rate curve (a 128-lane matmul runs ~0.25x
+#     the 512-lane rate), so wider-lo plans win even at more executed MACs;
+#     'macs' is the pure executed-MAC model (round-2 behavior).
+#   PSTPU_GC_BATCH_FOLD: 'auto' (default) folds the batch dim into the
+#     matmul row dim (with zero guard rows between items) when per-item
+#     out rows < MAX_TILE — deep short-T layers get full-M matmuls and a
+#     ~B-times smaller grid; 'never' / 'always' override.
 import os as _os
 
 TAP_MODE = _os.environ.get('PSTPU_GC_TAP_MODE', 'slice')
 X_WIRE = _os.environ.get('PSTPU_GC_XWIRE', 'f32')
+COST_MODE = _os.environ.get('PSTPU_GC_COST', 'rate')
+BATCH_FOLD = _os.environ.get('PSTPU_GC_BATCH_FOLD', 'auto')
+
+# skip planner combos whose packed taps alone would crowd VMEM
+_MAX_TAP_BYTES = 40 * 1024 * 1024
 
 
 def _round_up(v: int, m: int) -> int:
@@ -104,6 +117,8 @@ def _plan(cin: int, cout: int, k: int, stride: int, groups: int, pad: int,
             p_f = _round_up(pad, s)
             d0 = p_f - pad
             j_taps = (stride * (s_out - 1) + dilation * (k - 1) + d0) // s + 1
+            if j_taps * _round_up(s * cin, LANE) * lo * 4 > _MAX_TAP_BYTES:
+                continue
             # cost ∝ executed MACs / lane-width win: wider lo engages more
             # MXU lanes (measured: (K,128) runs ~0.5x the (K,512) rate)
             rate = min(lo, 512) / 512
@@ -113,7 +128,16 @@ def _plan(cin: int, cout: int, k: int, stride: int, groups: int, pad: int,
         if best is not None and best[1] > 1:
             s_out = best[1]
             return 1, s_out, 1, cin, s_out * cout
-        lo = cout if cout <= LANE else LANE
+        if cout <= LANE:
+            return 1, 1, 1, cin, cout
+        lo = LANE
+        if COST_MODE == 'rate':
+            # widest 128-aligned out tile <= 512 lanes: a (K,512) product
+            # runs ~4x the (K,128) rate at identical executed MACs
+            for cand in (4 * LANE, 2 * LANE):
+                if cout % cand == 0:
+                    lo = cand
+                    break
         return 1, 1, _cdiv(cout, lo), cin, lo
     best = None
     for gp in range(1, groups + 1):
@@ -131,9 +155,17 @@ def _plan(cin: int, cout: int, k: int, stride: int, groups: int, pad: int,
             p_f = _round_up(pad, s)
             d0 = p_f - pad
             j_taps = (stride * (s_out - 1) + dilation * (k - 1) + d0) // s + 1
+            lx_p = _round_up(s * gp * cg, LANE)
+            if j_taps * lx_p * lo * 4 > _MAX_TAP_BYTES:
+                continue
             # executed MACs ∝ G*cog * j_taps * pad128(S*gp*cg): the reduction
             # lane dim is zero-padded to the 128 tile by the executor
-            cost = j_taps * _round_up(s * gp * cg, LANE)
+            cost = j_taps * lx_p
+            if COST_MODE == 'rate':
+                # narrow-lo matmuls leave MXU lanes idle (measured: a (K,128)
+                # product runs ~0.25-0.5x the (K,512) rate) — normalize the
+                # executed MACs by the lane-fill rate
+                cost = cost / (min(lo, 4 * LANE) / (4 * LANE))
             if best is None or cost < best[0]:
                 best = (cost, gp, s_out)
     _, gp, s_out = best
@@ -159,8 +191,13 @@ def _plan_dx(cin: int, cout: int, k: int, stride: int, groups: int,
                 + e_g - 1
             j_taps = (e_g * stride - 1 + pad + stride * f_pad) // (
                 stride * e_g) + 1
+            lx_p = _round_up(e_g * gp * cog, LANE)
+            if j_taps * lx_p * lanes * 4 > _MAX_TAP_BYTES:
+                continue
             # executed MACs ∝ G*cg * j_taps * pad128(e_g*gp*cog)
-            cost = j_taps * _round_up(e_g * gp * cog, LANE)
+            cost = j_taps * lx_p
+            if COST_MODE == 'rate':
+                cost = cost / (min(lanes, 4 * LANE) / (4 * LANE))
             if best is None or cost < best[0]:
                 best = (cost, gp, e_g)
     if best is None:
@@ -410,6 +447,49 @@ def _pick_tile(out_rows: int) -> int:
     return _round_up(out_rows, 8)
 
 
+def _fold_rows(n: int, v_rows: int, j_taps: int, min_raw_rows: int):
+    """Batch-fold item row stride R, or None when folding is off/unhelpful.
+
+    Folding concatenates the N items along the matmul row dim with R rows per
+    item: R >= v_rows + j_taps - 1 keeps every valid out row's tap window
+    inside its own item's rows + trailing zero guard (windows starting in the
+    guard produce garbage rows that the caller strips), and R >= min_raw_rows
+    keeps the item's raw front-pad + signal in capacity. Worth it exactly when
+    per-item out rows are tile-starved (v_rows < MAX_TILE): deep MSD layers
+    (T<=256) go from (<=128, lx) matmuls and a B*O-program grid to full
+    (512, lx) tiles and a ~B-times smaller grid.
+    """
+    if BATCH_FOLD == 'never' or n <= 1:
+        return None
+    if BATCH_FOLD != 'always' and v_rows >= MAX_TILE:
+        return None
+    return _round_up(max(v_rows + j_taps - 1, min_raw_rows), 8)
+
+
+def _fold_items(x_ph: jnp.ndarray, out_rows: int, tile: int,
+                j_taps: int) -> jnp.ndarray:
+    """(N, n_slabs, R, lx) per-item phase rows -> (1, n_slabs, N*R(+pad), lx)
+    with enough trailing rows for every program's DMA span."""
+    n, n_slabs, r_rows, lx = x_ph.shape
+    flat = jnp.swapaxes(x_ph, 0, 1).reshape(1, n_slabs, n * r_rows, lx)
+    n_tiles = _cdiv(out_rows, tile)
+    need = (n_tiles - 1) * tile + _round_up(tile + j_taps - 1, 8)
+    if flat.shape[2] < need:
+        flat = jnp.pad(flat, [(0, 0), (0, 0), (0, need - flat.shape[2]),
+                              (0, 0)])
+    return flat
+
+
+def _unfold_items(out3: jnp.ndarray, n: int, r_rows: int,
+                  v_rows: int) -> jnp.ndarray:
+    """(1, rows, L) folded kernel output -> (N, v_rows, L) valid per-item rows."""
+    o2 = out3[0]
+    rows = n * r_rows
+    if o2.shape[0] < rows:
+        o2 = jnp.pad(o2, [(0, rows - o2.shape[0]), (0, 0)])
+    return o2[:rows].reshape(n, r_rows, -1)[:, :v_rows]
+
+
 # -----------------------------------------------------------------------------
 # forward / dx / dw wrappers
 # -----------------------------------------------------------------------------
@@ -424,11 +504,20 @@ def _fwd_impl(x, w, b, stride, padding, groups, dilation, slope,
     S = stride * s_out
     p_f, d0, j_taps = _geometry(k, stride, s_out, padding, dilation)
     v_rows = _cdiv(t_out, s_out)
-    tile = _pick_tile(v_rows)
     n_slabs = n_out if groups > 1 else 1
-    total = _pad_rows_for(t_in, p_f, S, tile, v_rows, j_taps)
-    x_pad = jnp.pad(x, [(0, 0), (p_f, total - p_f - t_in), (0, 0)])
-    x_ph = _phase_fold(x_pad, S, n_slabs)
+    R = _fold_rows(n, v_rows, j_taps, _cdiv(p_f + t_in, S))
+    if R is not None:
+        x_pad = jnp.pad(x, [(0, 0), (p_f, R * S - p_f - t_in), (0, 0)])
+        out_rows = (n - 1) * R + v_rows
+        tile = _pick_tile(out_rows)
+        x_ph = _fold_items(_phase_fold(x_pad, S, n_slabs), out_rows, tile,
+                           j_taps)
+    else:
+        out_rows = v_rows
+        tile = _pick_tile(v_rows)
+        total = _pad_rows_for(t_in, p_f, S, tile, v_rows, j_taps)
+        x_pad = jnp.pad(x, [(0, 0), (p_f, total - p_f - t_in), (0, 0)])
+        x_ph = _phase_fold(x_pad, S, n_slabs)
     taps = _pack_fwd_taps(w, gp, n_out, stride, s_out, j_taps, d0, groups,
                           dilation)
     if b is None:
@@ -437,9 +526,11 @@ def _fwd_impl(x, w, b, stride, padding, groups, dilation, slope,
         bt = b.reshape(n_out, lo_mm // s_out)
         bias2 = jnp.tile(bt, (1, s_out)).reshape(n_out, 1, lo_mm) \
             .astype(jnp.float32)
-    out3 = _shifted_matmul(x_ph, taps, bias2, tile=tile, out_rows=v_rows,
+    out3 = _shifted_matmul(x_ph, taps, bias2, tile=tile, out_rows=out_rows,
                            precision=precision, slope=slope,
                            interpret=interpret)
+    if R is not None:
+        out3 = _unfold_items(out3, n, R, v_rows)
     raw = _phase_unfold(out3, s_out, n_out)
     return raw[:, :t_out, :cout]
 
@@ -464,18 +555,36 @@ def _dx_impl(gbar, w, stride, padding, groups, dilation, t_in, precision,
         t_all = jnp.flip(taps, axis=1).transpose(1, 2, 0, 3) \
             .reshape(j_taps, sin, cout)
         o_dx = _cdiv(sin, LANE)
+        if COST_MODE == 'rate' and sin > LANE:
+            for cand in (4 * LANE, 2 * LANE):   # widest 128-aligned dx tile
+                if sin % cand == 0:
+                    o_dx = sin // cand
+                    break
         lo_dx = sin // o_dx
         taps_dx = t_all.reshape(j_taps, o_dx, lo_dx, cout) \
             .transpose(1, 0, 3, 2)               # (O_dx, J, cout, lo_dx)
         v_need = _cdiv(p_f + t_in, stride)
-        tile = _pick_tile(v_need)
         front = j_taps - 1
-        total = _pad_rows_for(t_out, front, 1, tile, v_need, j_taps)
-        g_pad = jnp.pad(gbar, [(0, 0), (front, total - front - t_out), (0, 0)])
-        g3 = _phase_fold(g_pad, 1, 1)
-        out3 = _shifted_matmul(g3, taps_dx, None, tile=tile, out_rows=v_need,
-                               precision=precision, slope=None,
-                               interpret=interpret)
+        R = _fold_rows(n, v_need, j_taps, front + t_out)
+        if R is not None:
+            g_pad = jnp.pad(gbar, [(0, 0), (front, R - front - t_out),
+                                   (0, 0)])
+            out_rows = (n - 1) * R + v_need
+            tile = _pick_tile(out_rows)
+            g3 = _fold_items(_phase_fold(g_pad, 1, 1), out_rows, tile,
+                             j_taps)
+        else:
+            out_rows = v_need
+            tile = _pick_tile(v_need)
+            total = _pad_rows_for(t_out, front, 1, tile, v_need, j_taps)
+            g_pad = jnp.pad(gbar, [(0, 0), (front, total - front - t_out),
+                                   (0, 0)])
+            g3 = _phase_fold(g_pad, 1, 1)
+        out3 = _shifted_matmul(g3, taps_dx, None, tile=tile,
+                               out_rows=out_rows, precision=precision,
+                               slope=None, interpret=interpret)
+        if R is not None:
+            out3 = _unfold_items(out3, n, R, v_need)
         # global out lanes are (p, ci) regardless of the executor's o_dx
         # lane-tile split, so unfold as ONE tile of stride phases
         raw = _phase_unfold(out3, stride, 1)
@@ -505,13 +614,25 @@ def _dx_impl(gbar, w, stride, padding, groups, dilation, t_in, precision,
     taps_dx = _pack_dx_taps(w, gp, e_g, stride, padding, groups, f_pad,
                             j_taps, dilation)
     v_need = _cdiv(t_in, E)
-    tile = _pick_tile(v_need)
-    total = _pad_rows_for(t_out, f_pad, e_g, tile, v_need, j_taps)
-    g_pad = jnp.pad(gbar, [(0, 0), (f_pad, total - f_pad - t_out), (0, 0)])
-    g3 = _phase_fold(g_pad, e_g, O)
-    out3 = _shifted_matmul(g3, taps_dx, None, tile=tile, out_rows=v_need,
+    R = _fold_rows(n, v_need, j_taps, _cdiv(f_pad + t_out, e_g))
+    if R is not None:
+        g_pad = jnp.pad(gbar, [(0, 0), (f_pad, R * e_g - f_pad - t_out),
+                               (0, 0)])
+        out_rows = (n - 1) * R + v_need
+        tile = _pick_tile(out_rows)
+        g3 = _fold_items(_phase_fold(g_pad, e_g, O), out_rows, tile, j_taps)
+    else:
+        out_rows = v_need
+        tile = _pick_tile(v_need)
+        total = _pad_rows_for(t_out, f_pad, e_g, tile, v_need, j_taps)
+        g_pad = jnp.pad(gbar, [(0, 0), (f_pad, total - f_pad - t_out),
+                               (0, 0)])
+        g3 = _phase_fold(g_pad, e_g, O)
+    out3 = _shifted_matmul(g3, taps_dx, None, tile=tile, out_rows=out_rows,
                            precision=precision, slope=None,
                            interpret=interpret)
+    if R is not None:
+        out3 = _unfold_items(out3, n, R, v_need)
     raw = _phase_unfold(out3, E, O)
     return raw[:, :t_in, :cin]
 
@@ -579,15 +700,34 @@ def _dw_impl(x, gbar, w_shape, stride, padding, groups, dilation,
     S = stride * s_out
     p_f, d0, j_taps = _geometry(k, stride, s_out, padding, dilation)
     v_rows = _cdiv(t_out, s_out)
-    tile = _pick_tile(v_rows)
-    n_tiles = _cdiv(v_rows, tile)
     n_slabs = n_out if groups > 1 else 1
-    total = _pad_rows_for(t_in, p_f, S, tile, v_rows, j_taps)
-    x_pad = jnp.pad(x, [(0, 0), (p_f, total - p_f - t_in), (0, 0)])
-    x_ph = _phase_fold(x_pad, S, n_slabs)
-    g_rows = n_tiles * tile * s_out
-    g_pad = jnp.pad(gbar, [(0, 0), (0, g_rows - t_out), (0, 0)])
-    g4 = _phase_fold(g_pad, s_out, n_out)       # (N, O, v_rows_pad, lo_mm)
+    R = _fold_rows(n, v_rows, j_taps, _cdiv(p_f + t_in, S))
+    if R is not None:
+        # batch-fold: contract ALL n*R folded rows (guard rows carry zero
+        # gradient, so they add nothing to dw) in one batch-grid entry
+        rows_all = n * R
+        tile = _pick_tile(rows_all)
+        n_tiles = _cdiv(rows_all, tile)
+        x_pad = jnp.pad(x, [(0, 0), (p_f, R * S - p_f - t_in), (0, 0)])
+        x_ph = _fold_items(_phase_fold(x_pad, S, n_slabs), rows_all, tile,
+                           j_taps)
+        g_pad = jnp.pad(gbar, [(0, 0), (0, R * s_out - t_out), (0, 0)])
+        g4 = _phase_fold(g_pad, s_out, n_out)    # (N, O, R, lo_mm)
+        g4 = jnp.swapaxes(g4, 0, 1).reshape(1, n_out, rows_all, lo_mm)
+        if rows_all < n_tiles * tile:
+            g4 = jnp.pad(g4, [(0, 0), (0, 0),
+                              (0, n_tiles * tile - rows_all), (0, 0)])
+        n_b = 1
+    else:
+        tile = _pick_tile(v_rows)
+        n_tiles = _cdiv(v_rows, tile)
+        total = _pad_rows_for(t_in, p_f, S, tile, v_rows, j_taps)
+        x_pad = jnp.pad(x, [(0, 0), (p_f, total - p_f - t_in), (0, 0)])
+        x_ph = _phase_fold(x_pad, S, n_slabs)
+        g_rows = n_tiles * tile * s_out
+        g_pad = jnp.pad(gbar, [(0, 0), (0, g_rows - t_out), (0, 0)])
+        g4 = _phase_fold(g_pad, s_out, n_out)    # (N, O, v_rows_pad, lo_mm)
+        n_b = n
     r_s = _round_up(tile + j_taps - 1, 8)
     lx_real = S * slab
     lx = _round_up(lx_real, LANE)               # DMA lane-tile alignment
@@ -611,7 +751,7 @@ def _dw_impl(x, gbar, w_shape, stride, padding, groups, dilation,
     scratch_shapes.append(pltpu.SemaphoreType.DMA)
     taps_grad = pl.pallas_call(
         kernel,
-        grid=(n_out, n, n_tiles),
+        grid=(n_out, n_b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, tile, lo_mm), lambda o, b, t: (b, o, t, 0)),

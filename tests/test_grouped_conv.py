@@ -25,6 +25,8 @@ def _xla_ref(x, w, b, s, p, g, slope=SLOPE):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     out = out + b[None, None, :]
+    if slope is None:
+        return out
     return jnp.where(out > 0, out, slope * out)
 
 
@@ -315,3 +317,66 @@ def test_executor_knob_vjp_parity(ci, co, k, s, g, t, monkeypatch):
     for name, a, r in zip(('dx', 'dw', 'db'), gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=3e-4,
                                    err_msg=name)
+
+
+@pytest.mark.parametrize('cost,fold', [
+    ('macs', 'never'),             # round-2 planner + per-item grid
+    ('macs', 'always'),            # fold under the old plans
+    ('rate', 'never'),             # lane-rate plans without fold
+])
+@pytest.mark.parametrize('ci,co,k,s,g,t', [
+    (128, 128, 41, 2, 4, 512),     # L1 geometry: rate model widens lo
+    (1024, 1024, 41, 1, 8, 64),    # L5 geometry: rate flips s_out 1 -> 4
+    (256, 512, 41, 4, 8, 256),     # strided grouped
+    (64, 64, 15, 1, 1, 96),        # dense
+])
+def test_planner_knob_parity(cost, fold, ci, co, k, s, g, t, monkeypatch):
+    """PSTPU_GC_COST / PSTPU_GC_BATCH_FOLD only repartition the same math:
+    every (cost model, batch fold) combo must match the default-knob output
+    in 'highest' precision, fwd and full VJP. Compared with slope=None: a
+    leaky-ReLU mask element sitting at +-1e-6 of zero can flip between two
+    exact-but-differently-ordered f32 summations and swamp the comparison."""
+    import pytorch_sound_tpu.ops.pallas.grouped_conv as gc
+    pad = 20 if k == 41 else (k - 1) // 2
+    x, w, b = _make(ci, co, k, g, t, seed=4)
+
+    def run_grads():
+        def loss(x, w, b):
+            out = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad,
+                                     groups=g, slope=None,
+                                     precision='highest', interpret=True)
+            return jnp.sum(jnp.sin(out)), out
+        (l, out), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2), has_aux=True)(x, w, b)
+        return out, grads
+
+    base_out, base_grads = run_grads()
+    ref = _xla_ref(x, w, b, s, pad, g, slope=None)
+    np.testing.assert_allclose(np.asarray(base_out), np.asarray(ref),
+                               atol=2e-5)
+    monkeypatch.setattr(gc, 'COST_MODE', cost)
+    monkeypatch.setattr(gc, 'BATCH_FOLD', fold)
+    out, grads = run_grads()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base_out),
+                               atol=3e-5)
+    for name, a, r in zip(('dx', 'dw', 'db'), grads, base_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-4,
+                                   err_msg=name)
+
+
+def test_batch_fold_single_item_and_large_batch():
+    """Fold is a no-op at n=1 and exact at n=8 (guard rows isolate items)."""
+    ci, co, k, s, g = 128, 256, 41, 2, 8
+    pad = 20
+    for n, t in ((1, 256), (8, 192)):
+        rng = np.random.default_rng(5 + n)
+        x = jnp.asarray(rng.standard_normal((n, t, ci), dtype=np.float32))
+        w = jnp.asarray(rng.standard_normal((co, ci // g, k),
+                                            dtype=np.float32) * 0.1)
+        b = jnp.asarray(rng.standard_normal((co,), dtype=np.float32))
+        out = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad, groups=g,
+                                 slope=SLOPE, precision='highest',
+                                 interpret=True)
+        ref = _xla_ref(x, w, b, s, pad, g)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
