@@ -754,6 +754,11 @@ def main():
     except Exception as e:
         details['trainer_vctk_gan_error'] = repr(e)
 
+    import pytorch_sound_tpu.ops.pallas.grouped_conv as _gc
+    details['grouped_conv_knobs'] = {
+        'tap_mode': _gc.TAP_MODE, 'x_wire': _gc.X_WIRE,
+        'cost': _gc.COST_MODE, 'batch_fold': _gc.BATCH_FOLD}
+
     details['backend'] = backend
     details['device'] = device
 

@@ -62,6 +62,15 @@ timed('msd fwd+bwd (B=32)',
 timed('mpd fwd (B=32)', lambda p, x: _scal(mpd.apply(mpd_p, x)), wav)
 timed('mpd fwd+bwd (B=32)',
       lambda p, x: _scal(mpd.apply(mpd_p, x)), wav, grad=True)
+# MPD with every layer on the Pallas dense path (new planner: 512-lane out
+# tiles + batch-fold over the period-folded rows)
+import pytorch_sound_tpu.models.vocoders.discriminators as _disc
+mpd_k = _disc.MultiPeriodDiscriminator(
+    periods=(2, 3, 5, 7, 11), backends=('auto',) * 6)
+timed('mpd all-auto fwd (B=32)', lambda p, x: _scal(mpd_k.apply(mpd_p, x)),
+      wav)
+timed('mpd all-auto fwd+bwd (B=32)',
+      lambda p, x: _scal(mpd_k.apply(mpd_p, x)), wav, grad=True)
 timed('gen fwd (B=16)', lambda p, m: gen.apply(gen_p, m).mean(), mel0)
 timed('gen fwd+bwd (B=16)',
       lambda p, m: gen.apply(gen_p, m).mean(), mel0, grad=True)

@@ -188,6 +188,8 @@ class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     channels: Sequence[int] = (32, 128, 512, 1024)
     precision: str = 'default'
+    # Per-layer conv backend, forwarded to every PeriodDiscriminator.
+    backends: Sequence[str] = PeriodDiscriminator.backends
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -195,6 +197,7 @@ class MultiPeriodDiscriminator(nn.Module):
         for p in self.periods:
             outs.append(PeriodDiscriminator(
                 p, channels=tuple(self.channels), precision=self.precision,
+                backends=tuple(self.backends),
                 name='period_%d' % p)(x))
         return outs   # list of (score, features)
 

@@ -380,3 +380,26 @@ def test_batch_fold_single_item_and_large_batch():
         ref = _xla_ref(x, w, b, s, pad, g)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5)
+
+
+@pytest.mark.parametrize('ci,co,s,t', [
+    (32, 128, 3, 683),      # MPD body layers: dense k5 NTC convs on
+    (128, 512, 3, 228),     # period-folded rows (B*P items, T/period rows)
+    (512, 1024, 3, 76),
+    (1024, 1024, 1, 26),
+])
+def test_mpd_geometry_kernel_parity(ci, co, s, t):
+    """The MPD's period-folded dense conv1d geometries are all kernel-
+    eligible and exact (`models/vocoders/discriminators.py:PeriodDiscriminator`
+    with backends='auto'; reference 2D stack:
+    /root/reference/pytorch_sound/models/vocoders/hifi_gan.py:96-121)."""
+    k, pad, n = 5, 2, 10
+    assert eligible(ci, co, k, s, 1, t, pad)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((n, t, ci)).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.standard_normal((co, ci, k)).astype(np.float32) * .05)
+    b = jnp.asarray(rng.standard_normal((co,)).astype(np.float32) * 0.1)
+    out = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad, groups=1,
+                             slope=SLOPE, precision='highest', interpret=True)
+    ref = _xla_ref(x, w, b, s, pad, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

@@ -263,3 +263,25 @@ def test_gen_loss_offtape_real_matches_concat_gradients(tmp_path):
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_scale_discriminator_pallas_stack_matches_xla():
+    """Full-width ScaleDiscriminator with every layer on the Pallas kernel
+    (backends 'auto', interpret on CPU) vs the all-XLA stack: the same
+    per-layer plan composition the GAN bench's best_config dispatches,
+    including the new planner defaults (lane-rate cost + batch fold)."""
+    import pytorch_sound_tpu.models.vocoders.discriminators as disc
+
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, 1, 512)).astype(np.float32) * 0.3)
+    sd_k = disc.ScaleDiscriminator(width=1.0, backends=('auto',) * 8)
+    sd_x = disc.ScaleDiscriminator(width=1.0, backends=('xla',) * 8)
+    params = sd_k.init(jax.random.PRNGKey(3), x)
+    score_k, feats_k = sd_k.apply(params, x)
+    score_x, feats_x = sd_x.apply(params, x)
+    rel = float(jnp.abs(score_k - score_x).max() /
+                (jnp.abs(score_x).max() + 1e-9))
+    assert rel < 3e-2, rel
+    assert len(feats_k) == len(feats_x)
+    for a, b in zip(feats_k, feats_x):
+        assert a.shape == b.shape
