@@ -13,6 +13,7 @@ BENCH_DETAILS.json; stdout carries exactly one JSON line.
 
 import contextlib
 import json
+import os
 import signal
 import sys
 import time
@@ -516,16 +517,25 @@ def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
     import pytorch_sound_tpu.models.vocoders.hifi_gan  # noqa: F401
 
     if best_config:
+        # measured-fastest masks; env-overridable for probe sessions
+        # (PSTPU_BENCH_MSD_PALLAS = first-N MSD layers on the kernel,
+        #  PSTPU_BENCH_MPD_PALLAS = 1 -> MPD all-kernel)
+        n_msd = int(os.environ.get('PSTPU_BENCH_MSD_PALLAS', '2'))
         gen = build_model('hifi_gan_v2', extra_kwargs=dict(data_format='NTC'))
         msd = disc_mod.MultiScaleDiscriminator(
             n_scales=3, width=1.0,
-            backends=('auto', 'auto') + ('xla',) * 6)
+            backends=('auto',) * n_msd + ('xla',) * (8 - n_msd))
+        if int(os.environ.get('PSTPU_BENCH_MPD_PALLAS', '0')):
+            mpd = disc_mod.MultiPeriodDiscriminator(backends=('auto',) * 6)
+        else:
+            mpd = build_model('hifi_gan_mpd_base')
     else:
         gen = build_model('hifi_gan_v2')
         msd = build_model('hifi_gan_msd_base')
+        mpd = build_model('hifi_gan_mpd_base')
     trainer = HiFiGANTrainer(
         gen,
-        build_model('hifi_gan_mpd_base'), msd,
+        mpd, msd,
         optax.adamw(2e-4, b1=0.8, b2=0.99), optax.adamw(2e-4, b1=0.8, b2=0.99),
         None, None, max_step=1, valid_max_step=1, save_interval=10 ** 9,
         log_interval=10 ** 9, save_dir=tempfile.mkdtemp(prefix='bench_gan_'),
