@@ -324,8 +324,14 @@ class HiFiGANTrainer(Trainer):
 def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
          num_workers: int = 2, fix_len: int = 8192, max_step: int = 500000,
          valid_max_step: int = 20, save_interval: int = 5000,
-         log_interval: int = 100, lr: float = 2e-4, arch: str = 'hifi_gan_v2'):
-    """Train a HiFi-GAN on any wave-first dataset (vctk, ljspeech, libri_tts)."""
+         log_interval: int = 100, lr: float = 2e-4, arch: str = 'hifi_gan_v2',
+         msd_pallas: int = 2, mpd_pallas: bool = False):
+    """Train a HiFi-GAN on any wave-first dataset (vctk, ljspeech, libri_tts).
+
+    ``msd_pallas``: first-N MSD layers on the Pallas grouped-conv kernel
+    (default = the measured-fastest mask on v5e); ``mpd_pallas``: run the
+    MPD's period-folded dense stack on the kernel too.
+    """
     from pytorch_sound_tpu.utils.commons import enable_compilation_cache
     enable_compilation_cache()   # warm restarts skip the long first compile
     data_mod = importlib.import_module('pytorch_sound_tpu.data.meta.' + dataset)
@@ -336,9 +342,15 @@ def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
     # channels-last generator: measured 2.5x faster training forward on v5e
     # (narrow-channel convs ride the NTC grouped-conv kernel; NCT falls back
     # to XLA's layout). Parameter shapes are format-independent.
+    import pytorch_sound_tpu.models.vocoders.discriminators as disc_mod
     generator = build_model(arch, extra_kwargs=dict(data_format='NTC'))
-    mpd = build_model('hifi_gan_mpd_base')
-    msd = build_model('hifi_gan_msd_base')
+    if mpd_pallas:
+        mpd = disc_mod.MultiPeriodDiscriminator(backends=('auto',) * 6)
+    else:
+        mpd = build_model('hifi_gan_mpd_base')
+    msd = disc_mod.MultiScaleDiscriminator(
+        n_scales=3, width=1.0,
+        backends=('auto',) * msd_pallas + ('xla',) * (8 - msd_pallas))
     gen_opt = optax.adamw(lr, b1=0.8, b2=0.99)
     disc_opt = optax.adamw(lr, b1=0.8, b2=0.99)
 
