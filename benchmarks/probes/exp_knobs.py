@@ -20,9 +20,11 @@ rng = np.random.default_rng(0)
 wav = jnp.asarray(rng.standard_normal((B, 1, T)).astype(np.float32) * 0.1)
 
 
-def time_stack(backends, tap_mode, x_wire, cost='rate', fold='auto'):
+def time_stack(backends, tap_mode, x_wire, cost='rate', fold='auto',
+               exec_mode='grid'):
     gc.TAP_MODE, gc.X_WIRE = tap_mode, x_wire
     gc.COST_MODE, gc.BATCH_FOLD = cost, fold
+    gc.EXEC_MODE = exec_mode
     msd = disc.MultiScaleDiscriminator(n_scales=3, width=1.0,
                                        backends=backends)
     params = msd.init(jax.random.PRNGKey(0), wav[:2])
@@ -59,10 +61,12 @@ def time_stack(backends, tap_mode, x_wire, cost='rate', fold='auto'):
 
 
 
-def parity_gate(tap_mode, x_wire, cost='rate', fold='auto'):
+def parity_gate(tap_mode, x_wire, cost='rate', fold='auto',
+                exec_mode='grid'):
     """Compiled parity of the kernel path vs the XLA mask on one batch."""
     gc.TAP_MODE, gc.X_WIRE = tap_mode, x_wire
     gc.COST_MODE, gc.BATCH_FOLD = cost, fold
+    gc.EXEC_MODE = exec_mode
     small = wav[:4]
     msd_k = disc.MultiScaleDiscriminator(n_scales=3, width=1.0,
                                          backends=('auto',) * 8)
@@ -90,13 +94,16 @@ COMBOS = [
     (('auto',) * 8, 'rot8', 'bf16', 'macs', 'never', 'r2 rot8+bf16'),
     (('auto', 'auto') + ('xla',) * 6, 'rot8', 'bf16', 'rate', 'auto',
      'tuned mask rate+fold'),
+    (('auto',) * 8, 'slice', 'f32', 'rate', 'auto', 'rate+fold PIPE', 'pipe'),
 ]
-for backends, tm, xw, cm, bf, label in COMBOS:
+for combo in COMBOS:
+    backends, tm, xw, cm, bf, label = combo[:6]
+    em = combo[6] if len(combo) > 6 else 'grid'
     try:
-        if 'auto' in backends and not parity_gate(tm, xw, cm, bf):
+        if 'auto' in backends and not parity_gate(tm, xw, cm, bf, em):
             print('%-24s SKIPPED (parity failed)' % label, flush=True)
             continue
-        tf, tb = time_stack(backends, tm, xw, cm, bf)
+        tf, tb = time_stack(backends, tm, xw, cm, bf, em)
         print('%-24s fwd %7.2f ms   fwd+dx+dw %7.2f ms' %
               (label, tf * 1e3, tb * 1e3), flush=True)
     except Exception as e:

@@ -68,6 +68,12 @@ TAP_MODE = _os.environ.get('PSTPU_GC_TAP_MODE', 'slice')
 X_WIRE = _os.environ.get('PSTPU_GC_XWIRE', 'f32')
 COST_MODE = _os.environ.get('PSTPU_GC_COST', 'rate')
 BATCH_FOLD = _os.environ.get('PSTPU_GC_BATCH_FOLD', 'auto')
+# PSTPU_GC_EXEC: 'grid' (default) = one program per out tile with a
+# synchronous scratch DMA; 'pipe' = one program per (batch, out-lane-tile)
+# looping tiles in-kernel with double-buffered scratch DMAs, so tile t+1's
+# HBM->VMEM copy overlaps tile t's matmuls (recovers the ~5-15% the serial
+# DMA costs). 'pipe' uses 'slice' tap reads (rot8 ignored).
+EXEC_MODE = _os.environ.get('PSTPU_GC_EXEC', 'grid')
 
 # skip planner combos whose packed taps alone would crowd VMEM
 _MAX_TAP_BYTES = 40 * 1024 * 1024
@@ -340,6 +346,46 @@ def _kernel(x_ref, taps_ref, bias_ref, out_ref, *scratch,
     out_ref[0] = acc
 
 
+def _pipe_kernel(x_ref, taps_ref, bias_ref, out_ref, scr0, scr1, sem0, sem1,
+                 *, tile: int, j_taps: int, n_slabs: int, lo_mm: int,
+                 r_s: int, n_tiles: int, precision: str,
+                 slope: Optional[float], has_bias: bool):
+    """Double-buffered executor: grid (n, o); tiles loop in-kernel so tile
+    t+1's scratch DMA overlaps tile t's matmuls."""
+    b = pl.program_id(0)
+    o = pl.program_id(1)
+    slab_idx = 0 if n_slabs == 1 else o
+
+    def dma_for(t, scr, sem):
+        row0 = pl.multiple_of(t * tile, 8)
+        return pltpu.make_async_copy(
+            x_ref.at[b, slab_idx, pl.ds(row0, r_s), :], scr, sem)
+
+    dma_for(0, scr0, sem0).start()
+    for t in range(n_tiles):
+        cur_scr, cur_sem = (scr0, sem0) if t % 2 == 0 else (scr1, sem1)
+        nxt_scr, nxt_sem = (scr1, sem1) if t % 2 == 0 else (scr0, sem0)
+        if t + 1 < n_tiles:
+            dma_for(t + 1, nxt_scr, nxt_sem).start()
+        dma_for(t, cur_scr, cur_sem).wait()
+        xs = cur_scr[...]
+        if precision == 'default':
+            if xs.dtype != jnp.bfloat16:
+                xs = xs.astype(jnp.bfloat16)
+            kw = dict(preferred_element_type=jnp.float32)
+        else:
+            kw = dict(preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        acc = jnp.zeros((tile, lo_mm), jnp.float32)
+        for j in range(j_taps):
+            acc = acc + jnp.dot(xs[j:j + tile], taps_ref[0, j], **kw)
+        if has_bias:
+            acc = acc + bias_ref[0, 0][None, :]
+        if slope is not None:
+            acc = jnp.where(acc > 0, acc, slope * acc)
+        out_ref[0, t * tile:(t + 1) * tile, :] = acc
+
+
 def _phase_fold(x_pad: jnp.ndarray, s: int, n_slabs: int) -> jnp.ndarray:
     """(N, raw_rows, C) -> (N, n_slabs, raw_rows/s, s*slab), lanes p-major
     within each slab (p*slab + c) to match `_pack_fwd_taps` row order.
@@ -395,6 +441,37 @@ def _shifted_matmul(x_ph: jnp.ndarray, taps: jnp.ndarray,
             # halve the HBM->VMEM scratch DMA; the MXU consumes bf16 in
             # 'default' precision anyway (rounding moves before the DMA)
             x_ph = x_ph.astype(jnp.bfloat16)
+    if EXEC_MODE == 'pipe':
+        n_tiles_p = _cdiv(out_rows, tile)
+        kernel = functools.partial(
+            _pipe_kernel, tile=tile, j_taps=j_taps, n_slabs=n_slabs,
+            lo_mm=lo_mm, r_s=r_s, n_tiles=n_tiles_p, precision=precision,
+            slope=slope, has_bias=has_bias)
+        out = pl.pallas_call(
+            kernel,
+            grid=(n, n_out_tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, j_taps, lx, lo_mm), lambda b, o: (o, 0, 0, 0)),
+                pl.BlockSpec((1, 1, lo_mm), lambda b, o: (o, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, n_tiles_p * tile, lo_mm),
+                                   lambda b, o: (b, 0, o)),
+            out_shape=jax.ShapeDtypeStruct(
+                (n, n_tiles_p * tile, n_out_tiles * lo_mm), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((r_s, lx), x_ph.dtype),
+                pltpu.VMEM((r_s, lx), x_ph.dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=('parallel', 'arbitrary')),
+            interpret=interpret,
+        )(x_ph, taps, bias)
+        return out
+
     tap_mode = 'rot8' if TAP_MODE == 'rot8' else 'slice'
     n_q8 = _cdiv(j_taps, 8)
     rot_rows = _round_up(tile + 8 * (n_q8 - 1), 8)

@@ -323,6 +323,7 @@ def test_executor_knob_vjp_parity(ci, co, k, s, g, t, monkeypatch):
     ('macs', 'never'),             # round-2 planner + per-item grid
     ('macs', 'always'),            # fold under the old plans
     ('rate', 'never'),             # lane-rate plans without fold
+    ('pipe', 'auto'),              # double-buffered executor, rate plans
 ])
 @pytest.mark.parametrize('ci,co,k,s,g,t', [
     (128, 128, 41, 2, 4, 512),     # L1 geometry: rate model widens lo
@@ -354,7 +355,10 @@ def test_planner_knob_parity(cost, fold, ci, co, k, s, g, t, monkeypatch):
     ref = _xla_ref(x, w, b, s, pad, g, slope=None)
     np.testing.assert_allclose(np.asarray(base_out), np.asarray(ref),
                                atol=2e-5)
-    monkeypatch.setattr(gc, 'COST_MODE', cost)
+    if cost == 'pipe':
+        monkeypatch.setattr(gc, 'EXEC_MODE', 'pipe')
+    else:
+        monkeypatch.setattr(gc, 'COST_MODE', cost)
     monkeypatch.setattr(gc, 'BATCH_FOLD', fold)
     out, grads = run_grads()
     np.testing.assert_allclose(np.asarray(out), np.asarray(base_out),
