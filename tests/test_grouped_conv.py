@@ -407,3 +407,24 @@ def test_mpd_geometry_kernel_parity(ci, co, s, t):
                              slope=SLOPE, precision='highest', interpret=True)
     ref = _xla_ref(x, w, b, s, pad, 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_pipe_executor_bf16_wire(monkeypatch):
+    """PSTPU_GC_EXEC=pipe composed with the bf16 x-wire keeps the precision
+    contract: 'highest' ignores the wire (exact), 'default' stays in the
+    bf16 accuracy envelope."""
+    import pytorch_sound_tpu.ops.pallas.grouped_conv as gc
+    monkeypatch.setattr(gc, 'EXEC_MODE', 'pipe')
+    monkeypatch.setattr(gc, 'X_WIRE', 'bf16')
+    ci, co, k, s, g, t = 256, 512, 41, 4, 8, 256
+    pad = 20
+    x, w, b = _make(ci, co, k, g, t, seed=8)
+    ref = _xla_ref(x, w, b, s, pad, g)
+    hi = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad, groups=g,
+                            slope=SLOPE, precision='highest', interpret=True)
+    np.testing.assert_allclose(np.asarray(hi), np.asarray(ref), atol=2e-5)
+    lo = grouped_conv1d_ntc(x, w, b, stride=s, padding=pad, groups=g,
+                            slope=SLOPE, precision='default', interpret=True)
+    rel = np.abs(np.asarray(lo) - np.asarray(ref)).max() / \
+        max(1e-6, np.abs(np.asarray(ref)).max())
+    assert rel < 2e-2, rel
