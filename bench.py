@@ -697,7 +697,14 @@ def main():
             backend = jax.default_backend()
             device = str(jax.devices()[0])
     except Exception as e:
-        details = {'backend_init_error': repr(e)}
+        # keep the last good BENCH_DETAILS.json (don't clobber real
+        # measurements with an outage stub) — just annotate it
+        try:
+            with open('BENCH_DETAILS.json') as r:
+                details = json.load(r)
+        except Exception:
+            details = {}
+        details['backend_init_error'] = repr(e)
         with open('BENCH_DETAILS.json', 'w') as w:
             json.dump(details, w, indent=2)
         print(json.dumps({
