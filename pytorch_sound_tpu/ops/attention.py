@@ -84,7 +84,19 @@ def blockwise_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     else:
         key_valid = jnp.broadcast_to(key_valid[None, :], (n, tk + pad))
 
-    n_blocks = (tk + pad) // block_size
+    acc, _, denom = _blockwise_scan_partials(q, k, v, key_valid, block_size,
+                                             scale, prec)
+    return acc / jnp.maximum(denom, 1e-30)
+
+
+def _blockwise_scan_partials(q, k, v, key_valid, block_size, scale, prec):
+    """(acc, m, denom) online-softmax partials of q against key blocks.
+
+    k/v must already be padded to a block multiple; ``key_valid`` is the
+    (N, Tk_pad) validity mask. Peak memory is O(Tq x block_size)."""
+    n, h, tq, d = q.shape
+    tk_pad = k.shape[2]
+    n_blocks = tk_pad // block_size
     k_blocks = k.reshape(n, h, n_blocks, block_size, d).transpose(2, 0, 1, 3, 4)
     v_blocks = v.reshape(n, h, n_blocks, block_size, d).transpose(2, 0, 1, 3, 4)
     valid_blocks = key_valid.reshape(n, n_blocks, block_size).transpose(1, 0, 2)
@@ -107,8 +119,32 @@ def blockwise_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     init = (jnp.zeros((n, h, tq, d), q.dtype),
             jnp.full((n, h, tq, 1), NEG_INF, q.dtype),
             jnp.zeros((n, h, tq, 1), q.dtype))
-    (acc, _, denom), _ = jax.lax.scan(step, init, (k_blocks, v_blocks, valid_blocks))
-    return acc / jnp.maximum(denom, 1e-30)
+    (acc, m, denom), _ = jax.lax.scan(
+        step, init, (k_blocks, v_blocks, valid_blocks))
+    return acc, m, denom
+
+
+def blockwise_attention_partials(q: jnp.ndarray, k: jnp.ndarray,
+                                 v: jnp.ndarray, *, block_size: int = 512,
+                                 scale: Optional[float] = None,
+                                 precision: str = 'highest'):
+    """(acc, m, denom) partials of q against this k/v shard in O(Tq x block)
+    memory — the ring-attention local step (`parallel/ring_attention.py`)
+    without materializing the (Tq, Tk) score matrix."""
+    n, h, tq, d = q.shape
+    tk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    prec = (jax.lax.Precision.DEFAULT if precision == 'default'
+            else jax.lax.Precision.HIGHEST)
+    pad = (-tk) % block_size
+    if pad:
+        k = jnp.pad(k, [(0, 0), (0, 0), (0, pad), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, pad), (0, 0)])
+    key_valid = jnp.broadcast_to((jnp.arange(tk + pad) < tk)[None, :],
+                                 (n, tk + pad))
+    return _blockwise_scan_partials(q, k, v, key_valid, block_size, scale,
+                                    prec)
 
 
 def combine_attention_partials(a: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],

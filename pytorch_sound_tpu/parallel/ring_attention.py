@@ -6,8 +6,9 @@ sharded along the sequence axis across a mesh axis; each device computes
 attention partials against its local K/V shard, then K/V shards rotate around
 the ring with ``lax.ppermute`` (ICI neighbor exchange) while partials merge
 with the associative online-softmax combine. Communication overlaps the next
-partial's compute under XLA's scheduler, peak memory is O(T_local x T_local),
-and the result is exact (verified against dense attention on an 8-device
+partial's compute under XLA's scheduler; local partials go blockwise for
+long shards (peak memory O(T_local x block) instead of O(T_local^2)), and
+the result is exact (verified against dense attention on an 8-device
 virtual mesh).
 """
 
@@ -32,7 +33,7 @@ except ImportError:   # older jax
 
 
 def _local_partials(q, k, v, scale):
-    """(acc, running_max, denom) of q against one K/V shard."""
+    """(acc, running_max, denom) of q against one K/V shard (dense scores)."""
     s = jnp.einsum('nhqd,nhkd->nhqk', q, k) * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -40,23 +41,48 @@ def _local_partials(q, k, v, scale):
     return acc, m, jnp.sum(p, axis=-1, keepdims=True)
 
 
+# per-device shards at or above this length compute their local partials
+# blockwise (O(T_local x block) memory) instead of materializing the
+# (T_local, T_local) score tile
+_BLOCKWISE_LOCAL_MIN_T = 2048
+
+
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   mesh: Mesh, axis: str = 'seq') -> jnp.ndarray:
+                   mesh: Mesh, axis: str = 'seq',
+                   local: str = 'auto') -> jnp.ndarray:
     """Exact attention with Q/K/V sequence-sharded over ``axis`` of ``mesh``.
 
     :param q, k, v: (N, H, T, D); T must divide by the axis size
+    :param local: per-shard partials strategy — 'dense' materializes the
+        (T_local, T_local) score tile, 'blockwise' runs the O(T_local x
+        block) online-softmax scan (`ops.attention.blockwise_attention_partials`),
+        'auto' picks blockwise once shards reach 2048 rows. All produce the
+        same partials contract, so the ring combine is unchanged.
     :return: (N, H, T, D), sharded like q
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     axis_size = mesh.shape[axis]
     assert q.shape[2] % axis_size == 0, 'sequence must divide the mesh axis'
 
+    t_local = q.shape[2] // axis_size
+    use_blockwise = (local == 'blockwise' or
+                     (local == 'auto' and t_local >= _BLOCKWISE_LOCAL_MIN_T))
+    if use_blockwise:
+        from pytorch_sound_tpu.ops.attention import (
+            blockwise_attention_partials)
+
+        def partials(q_loc, k_loc, v_loc):
+            return blockwise_attention_partials(q_loc, k_loc, v_loc,
+                                                scale=scale)
+    else:
+        partials = _partial(_local_partials, scale=scale)
+
     spec = P(None, None, axis, None)
 
     @_partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
               out_specs=spec, check_rep=False)
     def _ring(q_loc, k_loc, v_loc):
-        state = _local_partials(q_loc, k_loc, v_loc, scale)
+        state = partials(q_loc, k_loc, v_loc)
 
         perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
 
@@ -65,7 +91,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             ks = lax.ppermute(ks, axis, perm)
             vs = lax.ppermute(vs, axis, perm)
             state = combine_attention_partials(state,
-                                               _local_partials(q_loc, ks, vs, scale))
+                                               partials(q_loc, ks, vs))
             return state, ks, vs
 
         (acc, _, denom), _, _ = lax.fori_loop(

@@ -156,6 +156,33 @@ def test_ring_attention_matches_dense_on_mesh():
     out_d = _dense_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_d), atol=1e-5)
 
+    # blockwise local partials (the long-shard O(T_local x block) path)
+    # must produce the identical ring result
+    out_b = ring_attention(q, k, v, mesh, axis='seq', local='blockwise')
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_d), atol=1e-5)
+
+
+def test_blockwise_partials_match_dense_softmax():
+    """blockwise_attention_partials' (acc, m, denom) normalize to exact
+    attention and compose with combine_attention_partials across splits."""
+    from pytorch_sound_tpu.ops.attention import (
+        blockwise_attention_partials, combine_attention_partials)
+    rng = np.random.default_rng(8)
+    q, k, v = _qkv(rng, n=2, h=2, t=160, d=16)
+    acc, m, denom = blockwise_attention_partials(q, k, v, block_size=64)
+    out = acc / jnp.maximum(denom, 1e-30)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_dense_attention(q, k, v)),
+                               atol=1e-5)
+    # split keys in two shards, combine partials — same result
+    pa = blockwise_attention_partials(q, k[:, :, :96], v[:, :, :96],
+                                      block_size=32)
+    pb = blockwise_attention_partials(q, k[:, :, 96:], v[:, :, 96:],
+                                      block_size=32)
+    acc2, _, denom2 = combine_attention_partials(pa, pb)
+    out2 = acc2 / jnp.maximum(denom2, 1e-30)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-5)
+
 
 def test_flash_backward_matches_dense_grads():
     """The Pallas backward kernels (custom_vjp) vs dense autodiff, incl. mask."""
