@@ -677,7 +677,85 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
     return res
 
 
+# ---------------------------------------------------------------------------
+# Driver-budget scheduling.
+#
+# Round-3 lesson (VERDICT.md): the driver runs this file under its own
+# wall-clock budget and SIGKILLs on expiry; writing BENCH_DETAILS.json once at
+# the end and printing the headline after *every* section meant a single slow
+# section lost every measurement of the round. So:
+#   - a GLOBAL budget (env PSTPU_BENCH_BUDGET_S, default 19 min) is divided
+#     across sections; a section never gets more than the time remaining, and
+#     sections that would start with <45s left are skipped and recorded;
+#   - BENCH_DETAILS.json is rewritten after EVERY section;
+#   - the one-line stdout JSON is printed as soon as the headline section
+#     completes (stdout still carries exactly one line — later sections only
+#     update BENCH_DETAILS.json);
+#   - SIGTERM (what `timeout` sends first) flushes + prints from whatever is
+#     already measured and exits 0.
+# ---------------------------------------------------------------------------
+
+_T0 = time.time()
+_GLOBAL_BUDGET = float(os.environ.get('PSTPU_BENCH_BUDGET_S', '1140'))
+_DETAILS = {}
+_PRINTED = [False]
+_BASELINE = 2.5 * 22050   # reference claim: 2.5x realtime on CPU
+                          # (/root/reference/.../vocoders/hifi_gan.py:155)
+
+
+def _remaining() -> float:
+    return _GLOBAL_BUDGET - (time.time() - _T0)
+
+
+def _flush():
+    _DETAILS['bench_elapsed_s'] = round(time.time() - _T0, 1)
+    with open('BENCH_DETAILS.json', 'w') as w:
+        json.dump(_DETAILS, w, indent=2)
+
+
+def _print_headline():
+    if _PRINTED[0]:
+        return
+    _PRINTED[0] = True
+    value = _DETAILS.get('vocoder_samples_per_sec', 0.0) or 0.0
+    line = {
+        'metric': 'vocoder_samples_per_sec',
+        'value': round(value, 1),
+        'unit': 'samples/sec',
+        'vs_baseline': round(value / _BASELINE, 2),
+    }
+    if not value:
+        line['error'] = _DETAILS.get('vocoder_error',
+                                     'headline section did not complete')
+    print(json.dumps(line))
+    sys.stdout.flush()
+
+
+def _on_sigterm(signum, frame):
+    _DETAILS['terminated_early'] = 'signal %d at %.0fs' % (
+        signum, time.time() - _T0)
+    _flush()
+    _print_headline()
+    os._exit(0)
+
+
+def _section(name: str, budget: float, fn):
+    """Run ``fn`` under min(budget, time-remaining); record errors; flush."""
+    rem = _remaining()
+    if rem < 45:
+        _DETAILS.setdefault('skipped_sections', []).append(name)
+        _flush()
+        return
+    try:
+        with _deadline(max(30, int(min(budget, rem)))):
+            fn()
+    except BaseException as e:   # incl. _SectionTimeout; keep the contract
+        _DETAILS[name + '_error'] = repr(e)[:300]
+    _flush()
+
+
 def main():
+    signal.signal(signal.SIGTERM, _on_sigterm)
     from pytorch_sound_tpu.utils.commons import enable_compilation_cache
     enable_compilation_cache()
 
@@ -713,28 +791,29 @@ def main():
             'error': 'backend init failed: %r' % (e,)}))
         return
 
-    details = {}
-    try:
-      with _deadline(1800):
+    details = _DETAILS
+    details['backend'] = backend
+    details['device'] = device
+    details['budget_s'] = _GLOBAL_BUDGET
+    import pytorch_sound_tpu.ops.pallas.grouped_conv as _gc
+    details['grouped_conv_knobs'] = {
+        'tap_mode': _gc.TAP_MODE, 'x_wire': _gc.X_WIRE,
+        'cost': _gc.COST_MODE, 'batch_fold': _gc.BATCH_FOLD}
+
+    # -- headline: the proven v2 vocoder path (warm compile cache) ---------
+    def sec_vocoder():
         # headline = f32-HIGHEST (parity <=1e-5 vs flax on the real
-        # checkpoint); bf16x3 is the fast preview mode (~35 dB SNR vs f32,
-        # measured per run below) and is recorded alongside, not as headline
+        # checkpoint); bf16x3 is the fast preview mode (~35 dB SNR vs f32)
+        # and is recorded alongside, not as headline
         details['vocoder_samples_per_sec'] = bench_vocoder()
         details['vocoder_samples_per_sec_bf16x3'] = bench_vocoder(
             precision='bf16x3')
         details['vocoder_bf16x3_waveform_max_err'] = _vocoder_parity_err()
         details['streaming_decode_samples_per_sec'] = bench_streaming_decode()
-        details['vocoder_v1_samples_per_sec'] = bench_vocoder_v1()
-        details['vocoder_v1_samples_per_sec_bf16x3'] = bench_vocoder_v1(
-            precision='bf16x3')
-    except Exception as e:   # keep the one-line contract even on failure
-        details['vocoder_error'] = repr(e)
-    try:
-      with _deadline(1800):
-        details['preprocess_utterances_per_sec_chained'] = bench_preprocess(
-            fused=True)
-        details['preprocess_utterances_per_sec_chained_xla'] = bench_preprocess(
-            fused=False)
+    _section('vocoder', 420, sec_vocoder)
+    _print_headline()   # stdout contract satisfied from here on
+
+    def sec_preprocess():
         # device-loop slope variants: one dispatch per run and the slope
         # between two loop lengths cancels the tunnel's per-dispatch RTT
         # (measured 0.8-27 ms between sessions) - the authoritative numbers
@@ -749,47 +828,44 @@ def main():
             'fused_bf16x3': dl_fused, 'fused_f32': dl_f32, 'xla': dl_xla,
             'fused_vs_xla_ratio': dl_fused / dl_xla,
             'fused_f32_vs_xla_ratio': dl_f32 / dl_xla}
+        _flush()
         details['preprocess_e2e_utterances_per_sec'] = bench_preprocess_e2e()
+        _flush()
         details['preprocess_e2e_utterances_per_sec_int8'] = \
             bench_preprocess_e2e(wire='int8')
-    except Exception as e:
-        details['preprocess_error'] = repr(e)
-    try:
-      with _deadline(1200):
+        _flush()
+        details['preprocess_utterances_per_sec_chained'] = bench_preprocess(
+            fused=True)
+        details['preprocess_utterances_per_sec_chained_xla'] = \
+            bench_preprocess(fused=False)
+    _section('preprocess', 360, sec_preprocess)
+
+    def sec_trainer():
         details['trainer_steps_per_sec_enhancement'] = bench_trainer()
-        details['trainer_steps_per_sec'] = details['trainer_steps_per_sec_enhancement']
-    except Exception as e:
-        details['trainer_error'] = repr(e)
-    try:
-      with _deadline(1800):
+        details['trainer_steps_per_sec'] = \
+            details['trainer_steps_per_sec_enhancement']
+    _section('trainer', 240, sec_trainer)
+
+    def sec_flash():
         details['flash_attention_compiled'] = bench_flash_attention()
-    except Exception as e:
-        details['flash_attention_error'] = repr(e)
-    try:
-      with _deadline(5400):
-        details['trainer_steps_per_sec_vctk_gan'] = bench_trainer_vctk_gan()
-    except Exception as e:
-        details['trainer_vctk_gan_error'] = repr(e)
+    _section('flash_attention', 420, sec_flash)
 
-    import pytorch_sound_tpu.ops.pallas.grouped_conv as _gc
-    details['grouped_conv_knobs'] = {
-        'tap_mode': _gc.TAP_MODE, 'x_wire': _gc.X_WIRE,
-        'cost': _gc.COST_MODE, 'batch_fold': _gc.BATCH_FOLD}
+    def sec_vocoder_v1():
+        details['vocoder_v1_samples_per_sec'] = bench_vocoder_v1()
+        _flush()
+        details['vocoder_v1_samples_per_sec_bf16x3'] = bench_vocoder_v1(
+            precision='bf16x3')
+    _section('vocoder_v1', 300, sec_vocoder_v1)
 
-    details['backend'] = backend
-    details['device'] = device
+    # GAN last: the big compile. With the persistent cache warm it runs in
+    # ~2 min; cold it cannot fit a driver budget and gets cleanly skipped.
+    _section('trainer_vctk_gan',
+             max(120.0, _remaining() - 30),
+             lambda: details.__setitem__('trainer_steps_per_sec_vctk_gan',
+                                         bench_trainer_vctk_gan()))
 
-    with open('BENCH_DETAILS.json', 'w') as w:
-        json.dump(details, w, indent=2)
-
-    baseline = 2.5 * 22050   # reference claim: 2.5x realtime on CPU
-    value = details.get('vocoder_samples_per_sec', 0.0)
-    print(json.dumps({
-        'metric': 'vocoder_samples_per_sec',
-        'value': round(value, 1),
-        'unit': 'samples/sec',
-        'vs_baseline': round(value / baseline, 2),
-    }))
+    _flush()
+    _print_headline()
 
 
 if __name__ == '__main__':
