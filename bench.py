@@ -859,10 +859,17 @@ def main():
 
     # GAN last: the big compile. With the persistent cache warm it runs in
     # ~2 min; cold it cannot fit a driver budget and gets cleanly skipped.
-    _section('trainer_vctk_gan',
-             max(120.0, _remaining() - 30),
-             lambda: details.__setitem__('trainer_steps_per_sec_vctk_gan',
-                                         bench_trainer_vctk_gan()))
+    def sec_gan():
+        # the exact configuration behind the recorded number, so every
+        # steps/s claim in docs/NOTES maps to a reproducible config
+        n_msd = int(os.environ.get('PSTPU_BENCH_MSD_PALLAS', '2'))
+        details['trainer_vctk_gan_config'] = {
+            'batch': 16, 'fix_len': 8192, 'split_step': True,
+            'gen_format': 'NTC',
+            'msd_backends': ['auto'] * n_msd + ['xla'] * (8 - n_msd),
+            'mpd_pallas': int(os.environ.get('PSTPU_BENCH_MPD_PALLAS', '0'))}
+        details['trainer_steps_per_sec_vctk_gan'] = bench_trainer_vctk_gan()
+    _section('trainer_vctk_gan', max(120.0, _remaining() - 30), sec_gan)
 
     _flush()
     _print_headline()

@@ -11,55 +11,54 @@ from typing import List
 from pytorch_sound_tpu.data.eng_handler import cleaners
 from pytorch_sound_tpu.data.eng_handler.symbols import symbols
 
-_symbol_to_id = {s: i for i, s in enumerate(symbols)}
-_id_to_symbol = {i: s for i, s in enumerate(symbols)}
+_SYM_ID = {s: i for i, s in enumerate(symbols)}
+_ID_SYM = dict(enumerate(symbols))
+# ids for the pad/eos markers are never emitted by the encoder
+_MARKERS = ('_', '~')
 
-_curly_re = re.compile(r'(.*?)\{(.+?)\}(.*)')
+# splits "abc {HH AY1} def" -> ['abc ', 'HH AY1', ' def']; even indices are
+# plain text, odd indices are ARPAbet spans
+_CURLY_SPLIT = re.compile(r'\{(.+?)\}')
+
+
+def _encode(syms) -> List[int]:
+    return [_SYM_ID[s] for s in syms if s in _SYM_ID and s not in _MARKERS]
+
+
+def _clean(span: str, cleaner_names: List[str]) -> str:
+    for name in cleaner_names:
+        fn = getattr(cleaners, name, None)
+        if fn is None:
+            raise ValueError('Unknown cleaner: %s' % name)
+        span = fn(span)
+    return span
 
 
 def text_to_sequence(text: str, cleaner_names: List[str]) -> List[int]:
-    """Convert text to a list of symbol ids, running the named cleaners over
-    plain-text spans and treating ``{...}`` spans as ARPAbet."""
-    sequence: List[int] = []
-    while text:
-        m = _curly_re.match(text)
-        if not m:
-            sequence += _symbols_to_sequence(_clean_text(text, cleaner_names))
-            break
-        sequence += _symbols_to_sequence(_clean_text(m.group(1), cleaner_names))
-        sequence += _arpabet_to_sequence(m.group(2))
-        text = m.group(3)
-    return sequence
+    """Convert text to a list of symbol ids. Plain spans run through the
+    named cleaners character-by-character; ``{...}`` spans are encoded as
+    '@'-prefixed ARPAbet tokens.
+
+    Divergence from the reference (`data/eng_handler/__init__.py:16-41`):
+    there, a newline *before* a ``{...}`` span accidentally disables ARPAbet
+    parsing for the rest of the string (its scan regex can't cross lines);
+    here the span is still honored.
+    """
+    out: List[int] = []
+    for i, span in enumerate(_CURLY_SPLIT.split(text)):
+        if i % 2:
+            out.extend(_encode('@' + tok for tok in span.split()))
+        else:
+            out.extend(_encode(_clean(span, cleaner_names)))
+    return out
 
 
 def sequence_to_text(sequence: List[int]) -> str:
-    """Inverse of :func:`text_to_sequence`; ARPAbet ids are re-wrapped in braces."""
-    result = ''
-    for symbol_id in sequence:
-        if symbol_id in _id_to_symbol:
-            s = _id_to_symbol[symbol_id]
-            if len(s) > 1 and s[0] == '@':
-                s = '{%s}' % s[1:]
-            result += s
-    return result.replace('}{', ' ')
-
-
-def _clean_text(text: str, cleaner_names: List[str]) -> str:
-    for name in cleaner_names:
-        cleaner = getattr(cleaners, name, None)
-        if cleaner is None:
-            raise ValueError('Unknown cleaner: %s' % name)
-        text = cleaner(text)
-    return text
-
-
-def _symbols_to_sequence(syms) -> List[int]:
-    return [_symbol_to_id[s] for s in syms if _should_keep_symbol(s)]
-
-
-def _arpabet_to_sequence(text: str) -> List[int]:
-    return _symbols_to_sequence(['@' + s for s in text.split()])
-
-
-def _should_keep_symbol(s: str) -> bool:
-    return s in _symbol_to_id and s not in ('_', '~')
+    """Inverse of :func:`text_to_sequence`; ARPAbet ids re-wrap in braces."""
+    pieces = []
+    for idx in sequence:
+        sym = _ID_SYM.get(idx)
+        if sym is None:
+            continue
+        pieces.append('{%s}' % sym[1:] if sym.startswith('@') else sym)
+    return ''.join(pieces).replace('}{', ' ')

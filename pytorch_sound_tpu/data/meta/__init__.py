@@ -10,7 +10,6 @@ import abc
 import enum
 import os
 import re
-from itertools import repeat
 from typing import List, Tuple
 
 import pandas as pd
@@ -33,29 +32,37 @@ class MetaFrame:
     Subclasses override :attr:`columns`, :attr:`meta`, and :meth:`make_meta`.
     """
 
+    #: column types that yield per-sample tensors; META columns are
+    #: bookkeeping only and never reach the dataset layer
+    _DATA_TYPES = frozenset(
+        (MetaType.AUDIO, MetaType.SCALAR, MetaType.MIDI, MetaType.TEXT))
+
     @property
     def process_columns(self) -> List[Tuple[MetaType, str]]:
-        """Columns that produce data points (META columns filtered out)."""
-        target_types = [MetaType.AUDIO, MetaType.SCALAR, MetaType.MIDI, MetaType.TEXT]
-        return [(type_, name) for (type_, name) in self.columns if type_ in target_types]
+        """The subset of :attr:`columns` that produce data points."""
+        return [c for c in self.columns if c[0] in self._DATA_TYPES]
 
     @property
     @abc.abstractmethod
     def columns(self) -> List[Tuple[MetaType, str]]:
-        raise NotImplementedError('You must define columns !')
+        raise NotImplementedError(
+            '%s is missing its column declaration' % type(self).__name__)
 
     @property
     def column_names(self) -> List[str]:
-        return [col[1] for col in self.columns]
+        return [name for _, name in self.columns]
 
     @property
     @abc.abstractmethod
     def meta(self) -> pd.DataFrame:
-        raise NotImplementedError('You must define make DataFrame!')
+        raise NotImplementedError(
+            '%s does not build a meta frame' % type(self).__name__)
 
     @abc.abstractmethod
     def make_meta(self, *args, **kwargs):
-        raise NotImplementedError('You must define make DataFrame and save it !')
+        raise NotImplementedError(
+            '%s cannot scan a raw dataset into meta JSONs'
+            % type(self).__name__)
 
     @property
     def iloc(self):
@@ -63,56 +70,74 @@ class MetaFrame:
 
     def _process_duration(self, wav_file_list: List[str], min_wav_rate: float,
                           max_wav_rate: float) -> List[float]:
-        """Mark rows failing the [min, max] duration bounds (duration -1 = unreadable)."""
-        dur_list = go_multiprocess(get_wav_duration, [(x,) for x in wav_file_list])
-        pass_list = []
-        for p, dur in zip(self._meta['pass'], dur_list):
-            flag = p and dur != -1
-            if min_wav_rate and max_wav_rate:
-                flag = flag and min_wav_rate < dur < max_wav_rate
-            pass_list.append(flag)
-        self._meta['pass'] = pass_list
-        return dur_list
+        """AND duration bounds into the frame's ``pass`` column.
+
+        Durations are probed by a worker pool; a probe failure reports -1
+        and unconditionally fails the row. The (min, max) bound check only
+        applies when both bounds are truthy.
+        """
+        durations = go_multiprocess(get_wav_duration,
+                                    [(p,) for p in wav_file_list])
+
+        def keeps(dur: float) -> bool:
+            if dur == -1:
+                return False
+            if not (min_wav_rate and max_wav_rate):
+                return True
+            return min_wav_rate < dur < max_wav_rate
+
+        self._meta['pass'] = [prev and keeps(d)
+                              for prev, d in zip(self._meta['pass'], durations)]
+        return durations
 
     def _process_txt(self, txt_file_list: List[str], dur_list: List[float],
                      min_txt_rate: float):
-        """Clean text files and mark rows whose text/duration ratio is too low."""
-        results = go_multiprocess(
-            preprocess_text,
-            [(item,) for item in zip(txt_file_list,
-                                     repeat(min_txt_rate, len(txt_file_list)),
-                                     dur_list)])
-        txt_list, pass_list = map(list, zip(*results))
-        self._meta['pass'] = [p1 and p2 for p1, p2 in zip(self._meta['pass'], pass_list)]
-        self._meta['text'] = txt_list
+        """Clean each transcript and AND the chars-per-second gate into ``pass``."""
+        jobs = [((path, min_txt_rate, dur),)
+                for path, dur in zip(txt_file_list, dur_list)]
+        cleaned = go_multiprocess(preprocess_text, jobs)
+        self._meta['text'] = [text for text, _ in cleaned]
+        self._meta['pass'] = [prev and ok for prev, (_, ok)
+                              in zip(self._meta['pass'], cleaned)]
 
     @staticmethod
     def save_meta(frame_file_names: List[str], meta_path: str,
                   all_frame: pd.DataFrame, train_frame: pd.DataFrame,
                   val_frame: pd.DataFrame):
-        """Write [all, train, val] frames as JSON under ``meta_path``."""
-        assert not os.path.exists(meta_path) or os.path.isdir(meta_path)
+        """Write the [all, train, val] frames as JSON files under ``meta_path``.
+
+        The JSON layout is pandas ``to_json`` default orientation, byte-level
+        interoperable with meta files written by the reference
+        (`/root/reference/pytorch_sound/data/meta/__init__.py:115-134`).
+        """
+        if os.path.exists(meta_path) and not os.path.isdir(meta_path):
+            raise NotADirectoryError(meta_path)
         os.makedirs(meta_path, exist_ok=True)
-        file_paths = [os.path.join(meta_path, name) for name in frame_file_names]
-        all_frame.to_json(file_paths[0])
-        train_frame.to_json(file_paths[1])
-        val_frame.to_json(file_paths[2])
+        for name, frame in zip(frame_file_names,
+                               (all_frame, train_frame, val_frame)):
+            frame.to_json(os.path.join(meta_path, name))
+
+
+# character set kept by transcript cleanup: basic latin + common punctuation
+_TXT_KEEP = re.compile(r"[a-zA-Z'\.,\?! ]+")
 
 
 def preprocess_text(args: Tuple[str, float, float]) -> List:
-    """Read + regex-clean one text file; returns [text, passed].
+    """Worker: read one transcript, strip non-English characters, gate on
+    text-length / audio-duration ratio. Returns ``[cleaned_text, passed]``.
 
-    Keeps only basic English characters/punctuation; a row passes when
-    len(text)/duration >= min_ratio (always, when min_ratio falsy).
+    Any read/convert failure yields ``['', False]`` — the row is dropped by
+    the ``pass`` filter rather than aborting the scan (matching the
+    swallow-and-filter policy of the reference pipeline).
     """
-    txt_file, min_ratio, dur = args
-    regex = re.compile(r"[a-zA-Z\'\.\,\?\!\ ]+")
+    path, min_ratio, duration = args
     try:
-        with open(txt_file, encoding='utf-8') as r:
-            txt = r.read().strip()
-        txt = ' '.join(m.strip() for m in regex.findall(txt))
-        txt_dur = len(' '.join(txt.split()))
-        _pass = True if not min_ratio else min_ratio <= (txt_dur / float(dur))
+        with open(path, encoding='utf-8') as fh:
+            raw = fh.read()
+        text = ' '.join(piece.strip() for piece in _TXT_KEEP.findall(raw.strip()))
+        if not min_ratio:
+            return [text, True]
+        n_chars = len(' '.join(text.split()))
+        return [text, (n_chars / float(duration)) >= min_ratio]
     except Exception:
-        txt, _pass = '', False
-    return [txt, _pass]
+        return ['', False]
