@@ -232,6 +232,27 @@ def bench_vocoder_v1(batch: int = 16, frames: int = 256,
     return batch * frames * 256 / dt
 
 
+def _vocoder_v1_parity_err(batch: int = 2, frames: int = 32) -> float:
+    """Compiled (non-interpret) max abs waveform delta of the fully-fused v1
+    stage path vs the plain flax forward at f32-HIGHEST, on the real device.
+    The interpret-mode parity tests (tests/test_pallas.py) prove the math;
+    this proves the Mosaic lowering of v1's wide-stage geometry."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_sound_tpu.models import build_model
+    import pytorch_sound_tpu.models.vocoders.hifi_gan as hg
+
+    gen = build_model('hifi_gan_v1', extra_kwargs={'use_weight_norm': False})
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(
+        rng.standard_normal((batch, 80, frames)).astype(np.float32) * 2 - 4)
+    params = gen.init(jax.random.PRNGKey(0), mel[:1])
+    fused = jax.jit(lambda m: hg.generator_apply_fused(
+        gen, params, m, full_stage=True, precision='highest'))(mel)
+    ref = jax.jit(lambda m: gen.apply(params, m))(mel)
+    return float(jnp.abs(fused - ref).max())
+
+
 def _vocoder_parity_err(batch: int = 32, frames: int = 256) -> float:
     """Max abs waveform delta of the bf16x3 fused decode vs the f32-HIGHEST
     decode on the real pretrained checkpoint (tanh output in [-1, 1], so this
@@ -795,6 +816,14 @@ def main():
     details['backend'] = backend
     details['device'] = device
     details['budget_s'] = _GLOBAL_BUDGET
+    # Embed the committed on-device probe tables (benchmarks/probes/) so every
+    # perf number quoted in docs/KERNELS.md or NOTES_ROUND*.md maps to a key
+    # in the driver artifact with its exact config + measurement date.
+    try:
+        with open('benchmarks/probes/results/SUMMARY.json') as r:
+            details['probe_results'] = json.load(r)
+    except Exception:
+        pass
     import pytorch_sound_tpu.ops.pallas.grouped_conv as _gc
     details['grouped_conv_knobs'] = {
         'tap_mode': _gc.TAP_MODE, 'x_wire': _gc.X_WIRE,
@@ -851,6 +880,9 @@ def main():
     _section('flash_attention', 420, sec_flash)
 
     def sec_vocoder_v1():
+        details['vocoder_v1_fused_parity_max_abs_err'] = \
+            _vocoder_v1_parity_err()
+        _flush()
         details['vocoder_v1_samples_per_sec'] = bench_vocoder_v1()
         _flush()
         details['vocoder_v1_samples_per_sec_bf16x3'] = bench_vocoder_v1(
