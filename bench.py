@@ -580,8 +580,11 @@ def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
 
 
 # (block_q, block_kv) per sequence length for the flash fwd+bwd benches;
-# tuned on v5e (see docs/KERNELS.md) — bigger tiles amortize grid overhead
-FLASH_BLOCKS = {4096: (256, 1024), 8192: (256, 1024), 16384: (256, 1024)}
+# swept on v5e (benchmarks/probes/results/flash_sweep.log, 2026-08-19):
+# (512, 1024) wins fwd+bwd at T=4096 (22.3 ms vs dense 35.8); (512, 2048)
+# exceeds the compile VMEM budget. Tiles don't scale with T, so the winner
+# carries to the longer rows.
+FLASH_BLOCKS = {4096: (512, 1024), 8192: (512, 1024), 16384: (512, 1024)}
 
 
 def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):

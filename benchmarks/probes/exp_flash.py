@@ -62,7 +62,8 @@ if mode == 'sweep':
 else:
     for T in (8192, 16384):
         def flash(q, k, v):
-            return flash_attention_trainable(q, k, v, None, 128, 512, False,
+            # (512, 1024): the sweep winner at T=4096 (see sweep mode)
+            return flash_attention_trainable(q, k, v, None, 512, 1024, False,
                                              'bf16x3')
         dt = time_fwd_bwd(flash, T, n1=4, n2=12)
         print('flash T=%d: %.2f ms' % (T, dt * 1e3), flush=True)

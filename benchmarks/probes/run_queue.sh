@@ -44,4 +44,7 @@ CURRENT=flash_sweep; want "$@" && run_job flash_sweep 2700 python benchmarks/pro
 CURRENT=flash_long; want "$@" && run_job flash_long 2700 python benchmarks/probes/exp_flash.py long
 CURRENT=ganprof;    want "$@" && run_job ganprof    3600 python benchmarks/probes/exp_ganprof.py
 CURRENT=kvar;       want "$@" && run_job kvar       3600 python benchmarks/probes/exp_kvar.py
+CURRENT=dense;      want "$@" && run_job dense      3600 python benchmarks/probes/exp_dense.py
+CURRENT=ganstep;    want "$@" && run_job ganstep    3600 python benchmarks/probes/exp_ganstep.py
+CURRENT=e2e;        want "$@" && run_job e2e        2700 python benchmarks/probes/exp_e2e.py
 echo "=== queue complete $(date -u +%FT%TZ)"

@@ -254,6 +254,9 @@ class HiFiGANTrainer(Trainer):
                 return ({'gen': new_gen, **new_disc},
                         {'gen': new_gopt, **new_dopt}, g_loss, meta)
 
+            # exposed for per-phase timing probes (benchmarks/probes/)
+            self._disc_step_jit = disc_step
+            self._gen_step_jit = gen_step
             self._compiled_train_step = step
         return self._compiled_train_step
 

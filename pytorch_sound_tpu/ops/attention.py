@@ -61,7 +61,16 @@ def blockwise_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             flash_attention_trainable)
         key_valid = None if mask is None else (~mask).astype(jnp.float32)
         if autotune_block:
-            block_q, block_kv = min(block_size, 128), max(block_size, 512)
+            # measured on v5e (benchmarks/probes/results/flash_sweep.log,
+            # 2026-08-19, fwd+bwd T=4096): (128,512) 34.0 ms, (256,1024)
+            # 24.2 ms, (512,1024) 22.3 ms vs dense 35.8 ms — bigger tiles
+            # amortize the per-visit grid cost; (512,2048) exceeds the
+            # compile VMEM budget. Clamp to the padded sequence so short
+            # inputs don't pay tile padding.
+            def _ru128(v):
+                return -(-v // 128) * 128
+            block_q = min(512, _ru128(q.shape[2]))
+            block_kv = min(1024, max(512, _ru128(k.shape[2])))
         else:
             block_q = block_kv = block_size
         return flash_attention_trainable(q, k, v, key_valid,

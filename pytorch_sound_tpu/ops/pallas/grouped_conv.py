@@ -1039,26 +1039,51 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
     K) — the torch layout shared with
     :class:`models.vocoders.hifi_gan.WNConv1d`.
 
-    ``backend``: 'auto' uses the kernel on every eligible TPU geometry;
-    'xla' forces the XLA conv (still NTC — useful where XLA's own conv is
-    already near roofline, e.g. wide-channel grouped stacks); 'pallas'
-    forces the kernel for eligible shapes even off-TPU is not supported —
-    it still requires eligibility and a TPU (or ``interpret=True``).
+    ``backend``:
+      'auto'      — the measured-fastest path per geometry on v5e
+                    (benchmarks/probes/results/SUMMARY.json, 2026-08-19):
+                    dense layers (groups == 1) ride the Pallas kernel when
+                    eligible; grouped layers go to XLA — as a DENSE conv
+                    with block-diagonal zero-expanded weights for low group
+                    counts (g <= 4: 2.2x over XLA's grouped lowering at the
+                    MSD's L1, 33 TF/s true-rate) and as XLA's native
+                    grouped conv for g >= 8 (177 TF/s executed at L5).
+      'xla'       — XLA's grouped NTC conv.
+      'xla_dense' — the zero-expanded dense formulation (executes
+                    ``groups``x the true MACs at full 128-lane MXU fill).
+      'pallas'    — the Pallas kernel for eligible shapes (requires TPU or
+                    ``interpret=True``).
     """
+    n, t_in, cin = x.shape
+    cout, cg, k = w.shape
+    expand = backend == 'xla_dense'
     if interpret is None:
         interpret = False
         use_kernel = jax.default_backend() == 'tpu'
+        if backend == 'auto' and groups > 1:
+            # measured decision table (kvar probe): the kernel loses on
+            # every grouped MSD geometry; dense expansion wins g<=4,
+            # grouped XLA g>=8
+            use_kernel = False
+            expand = groups <= 4
     else:
-        use_kernel = True
-    if backend == 'xla':
+        use_kernel = True   # explicit interpret runs always take the kernel
+    if backend in ('xla', 'xla_dense'):
         use_kernel = False
-    n, t_in, cin = x.shape
-    cout, cg, k = w.shape
     if use_kernel and eligible(cin, cout, k, stride, groups, t_in, padding,
                                dilation):
         return _pallas_grouped_conv(x, w, b, stride, padding, groups,
                                     dilation, slope, precision, interpret)
     # XLA fallback (NTC conv)
+    if expand and groups > 1:
+        # block-diagonal dense expansion: einsum against eye keeps the
+        # parameter layout (C_out, C_in/g, K) and gives exact dw through AD
+        cog = cout // groups
+        eye = jnp.eye(groups, dtype=w.dtype)
+        w_dense = jnp.einsum('gock,gh->gohck',
+                             w.reshape(groups, cog, cg, k), eye)
+        w = w_dense.reshape(cout, groups * cg, k)
+        groups = 1
     out = jax.lax.conv_general_dilated(
         x, w.transpose(2, 1, 0), window_strides=(stride,),
         padding=[(padding, padding)], rhs_dilation=(dilation,),

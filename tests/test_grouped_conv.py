@@ -428,3 +428,43 @@ def test_pipe_executor_bf16_wire(monkeypatch):
     rel = np.abs(np.asarray(lo) - np.asarray(ref)).max() / \
         max(1e-6, np.abs(np.asarray(ref)).max())
     assert rel < 2e-2, rel
+
+
+@pytest.mark.parametrize('ci,co,k,s,g,t', CASES)
+def test_xla_dense_backend_parity(ci, co, k, s, g, t):
+    """The zero-expanded dense formulation (backend='xla_dense') is exact vs
+    XLA's grouped lowering — fwd AND grads (dw must land only on the true
+    block-diagonal weights; the zero blocks contribute nothing)."""
+    pad = 20 if k == 41 else (k - 1) // 2
+    x, w, b = _make(ci, co, k, g, t)
+
+    def f(backend):
+        def loss(xx, ww, bb):
+            out = grouped_conv1d_ntc(xx, ww, bb, stride=s, padding=pad,
+                                     groups=g, slope=SLOPE, backend=backend,
+                                     precision='highest')
+            return (out * jnp.cos(out)).sum()
+        return loss
+
+    ref = f('xla')(x, w, b)
+    got = f('xla_dense')(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    g_ref = jax.grad(f('xla'), argnums=(0, 1, 2))(x, w, b)
+    g_got = jax.grad(f('xla_dense'), argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_auto_backend_grouped_routes_off_kernel_on_cpu():
+    """'auto' + groups>1 must not crash off-TPU and must match XLA exactly
+    (it lowers to xla_dense for g<=4 and grouped XLA for g>=8)."""
+    for g in (4, 8):
+        x, w, b = _make(64, 64, 9, g, 128)
+        got = grouped_conv1d_ntc(x, w, b, stride=1, padding=4, groups=g,
+                                 slope=SLOPE, backend='auto',
+                                 precision='highest')
+        ref = _xla_ref(x, w, b, 1, 4, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
