@@ -643,8 +643,9 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
         return step
 
     def flash_b3(q, k, v):
-        return flash_attention_trainable(q, k, v, None, 128, 512, False,
-                                         'bf16x3')
+        # tuned tiles (flash_sweep 2026-08-19); clamped for short T
+        return flash_attention_trainable(q, k, v, None, min(512, t),
+                                         min(1024, t), False, 'bf16x3')
 
     # bf16x3 parity too (the blockwise_attention auto default)
     out_b3 = jax.jit(flash_b3)(q, k, v)
