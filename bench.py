@@ -539,15 +539,20 @@ def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
 
     if best_config:
         # measured-fastest masks; env-overridable for probe sessions
-        # (PSTPU_BENCH_MSD_PALLAS = first-N MSD layers on the kernel,
+        # (PSTPU_BENCH_MSD_PALLAS = first-N MSD layers FORCED onto the
+        #  Pallas kernel — default -1 = the ScaleDiscriminator default mask,
+        #  whose 'auto' entries resolve to the measured XLA table;
         #  PSTPU_BENCH_MPD_PALLAS = 1 -> MPD all-kernel)
-        n_msd = int(os.environ.get('PSTPU_BENCH_MSD_PALLAS', '2'))
+        n_msd = int(os.environ.get('PSTPU_BENCH_MSD_PALLAS', '-1'))
         gen = build_model('hifi_gan_v2', extra_kwargs=dict(data_format='NTC'))
-        msd = disc_mod.MultiScaleDiscriminator(
-            n_scales=3, width=1.0,
-            backends=('auto',) * n_msd + ('xla',) * (8 - n_msd))
+        if n_msd < 0:
+            msd = disc_mod.MultiScaleDiscriminator(n_scales=3, width=1.0)
+        else:
+            msd = disc_mod.MultiScaleDiscriminator(
+                n_scales=3, width=1.0,
+                backends=('pallas',) * n_msd + ('xla',) * (8 - n_msd))
         if int(os.environ.get('PSTPU_BENCH_MPD_PALLAS', '0')):
-            mpd = disc_mod.MultiPeriodDiscriminator(backends=('auto',) * 6)
+            mpd = disc_mod.MultiPeriodDiscriminator(backends=('pallas',) * 6)
         else:
             mpd = build_model('hifi_gan_mpd_base')
     else:
@@ -898,11 +903,14 @@ def main():
     def sec_gan():
         # the exact configuration behind the recorded number, so every
         # steps/s claim in docs/NOTES maps to a reproducible config
-        n_msd = int(os.environ.get('PSTPU_BENCH_MSD_PALLAS', '2'))
+        import pytorch_sound_tpu.models.vocoders.discriminators as _dm
+        n_msd = int(os.environ.get('PSTPU_BENCH_MSD_PALLAS', '-1'))
         details['trainer_vctk_gan_config'] = {
             'batch': 16, 'fix_len': 8192, 'split_step': True,
             'gen_format': 'NTC',
-            'msd_backends': ['auto'] * n_msd + ['xla'] * (8 - n_msd),
+            'msd_backends': (list(_dm.ScaleDiscriminator.backends)
+                             if n_msd < 0 else
+                             ['pallas'] * n_msd + ['xla'] * (8 - n_msd)),
             'mpd_pallas': int(os.environ.get('PSTPU_BENCH_MPD_PALLAS', '0'))}
         details['trainer_steps_per_sec_vctk_gan'] = bench_trainer_vctk_gan()
     _section('trainer_vctk_gan', max(120.0, _remaining() - 30), sec_gan)

@@ -29,9 +29,17 @@ import pytorch_sound_tpu.models.vocoders.hifi_gan  # noqa: F401
 SMALL = int(os.environ.get('SMALL', '0'))   # 1 = tiny-CPU smoke of the probe
 BATCH, T = (2, 2048) if SMALL else (16, 8192)
 GEN_FMT = os.environ.get('GEN_FMT', 'NTC')
-N_PALLAS = int(os.environ.get('MSD_PALLAS', '0'))
+# MSD_MASK: 'default' = the ScaleDiscriminator default (measured table);
+# 'xla' = all-XLA; an integer N = first-N layers forced onto the kernel
+MSD_MASK = os.environ.get('MSD_MASK', 'default')
 MPD_PALLAS = int(os.environ.get('MPD_PALLAS', '0'))
-mask = tuple(['auto'] * N_PALLAS + ['xla'] * (8 - N_PALLAS))
+if MSD_MASK == 'default':
+    mask = tuple(disc.ScaleDiscriminator.backends)
+elif MSD_MASK == 'xla':
+    mask = ('xla',) * 8
+else:
+    n = int(MSD_MASK)
+    mask = ('pallas',) * n + ('xla',) * (8 - n)
 
 if SMALL:
     gen = build_model('hifi_gan_v3',
@@ -42,8 +50,8 @@ if SMALL:
                                        backends=mask)
 else:
     gen = build_model('hifi_gan_v2', extra_kwargs=dict(data_format=GEN_FMT))
-    mpd = (disc.MultiPeriodDiscriminator(backends=('auto',) * 6) if MPD_PALLAS
-           else build_model('hifi_gan_mpd_base'))
+    mpd = (disc.MultiPeriodDiscriminator(backends=('pallas',) * 6)
+           if MPD_PALLAS else build_model('hifi_gan_mpd_base'))
     msd = disc.MultiScaleDiscriminator(n_scales=3, width=1.0, backends=mask)
 print('gen=%s msd_mask=%s mpd_pallas=%d' % (GEN_FMT, mask, MPD_PALLAS),
       flush=True)

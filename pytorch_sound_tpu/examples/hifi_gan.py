@@ -328,12 +328,14 @@ def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
          num_workers: int = 2, fix_len: int = 8192, max_step: int = 500000,
          valid_max_step: int = 20, save_interval: int = 5000,
          log_interval: int = 100, lr: float = 2e-4, arch: str = 'hifi_gan_v2',
-         msd_pallas: int = 2, mpd_pallas: bool = False):
+         msd_pallas: int = -1, mpd_pallas: bool = False):
     """Train a HiFi-GAN on any wave-first dataset (vctk, ljspeech, libri_tts).
 
-    ``msd_pallas``: first-N MSD layers on the Pallas grouped-conv kernel
-    (default = the measured-fastest mask on v5e); ``mpd_pallas``: run the
-    MPD's period-folded dense stack on the kernel too.
+    ``msd_pallas``: -1 (default) = the measured-fastest per-layer backend
+    mask on v5e (`ScaleDiscriminator.backends`, whose 'auto' entries resolve
+    to the on-device-A/B'd XLA table); >= 0 forces the first N MSD layers
+    onto the Pallas grouped-conv kernel (probe sessions).
+    ``mpd_pallas``: run the MPD's period-folded dense stack on the kernel.
     """
     from pytorch_sound_tpu.utils.commons import enable_compilation_cache
     enable_compilation_cache()   # warm restarts skip the long first compile
@@ -348,12 +350,15 @@ def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
     import pytorch_sound_tpu.models.vocoders.discriminators as disc_mod
     generator = build_model(arch, extra_kwargs=dict(data_format='NTC'))
     if mpd_pallas:
-        mpd = disc_mod.MultiPeriodDiscriminator(backends=('auto',) * 6)
+        mpd = disc_mod.MultiPeriodDiscriminator(backends=('pallas',) * 6)
     else:
         mpd = build_model('hifi_gan_mpd_base')
-    msd = disc_mod.MultiScaleDiscriminator(
-        n_scales=3, width=1.0,
-        backends=('auto',) * msd_pallas + ('xla',) * (8 - msd_pallas))
+    if msd_pallas < 0:
+        msd = disc_mod.MultiScaleDiscriminator(n_scales=3, width=1.0)
+    else:
+        msd = disc_mod.MultiScaleDiscriminator(
+            n_scales=3, width=1.0,
+            backends=('pallas',) * msd_pallas + ('xla',) * (8 - msd_pallas))
     gen_opt = optax.adamw(lr, b1=0.8, b2=0.99)
     disc_opt = optax.adamw(lr, b1=0.8, b2=0.99)
 

@@ -140,14 +140,15 @@ class ScaleDiscriminator(nn.Module):
 
     width: float = 1.0
     precision: str = 'default'
-    # Per-layer conv backend (7 body layers + conv_post). 'auto' = Pallas on
-    # every eligible TPU geometry; 'xla' pins a layer to XLA's NTC conv.
-    # Measured on v5e: the Pallas VJP wins on the wide-T/narrow-C front
-    # layers, while XLA is already near roofline on the deep wide-channel
-    # grouped stack — so the default routes front layers to the kernel and
-    # the rest to XLA (see docs/KERNELS.md).
-    backends: Sequence[str] = ('auto', 'auto',
-                               'xla', 'xla', 'xla', 'xla', 'xla', 'xla')
+    # Per-layer conv backend (7 body layers + conv_post). 'auto' resolves
+    # each grouped layer to the measured winner on v5e (dense-expanded XLA
+    # conv when cin/groups <= 32, native grouped XLA otherwise — on-device
+    # A/B in benchmarks/probes/results/, 2026-08-19); 'xla' pins XLA's NTC
+    # conv; 'pallas' opts into the Pallas kernel. The dense k=5 top layer
+    # and conv_post stay pinned to XLA (the kernel measured slower on every
+    # probed dense critic geometry — see docs/KERNELS.md).
+    backends: Sequence[str] = ('auto', 'auto', 'auto', 'auto',
+                               'auto', 'auto', 'xla', 'xla')
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:

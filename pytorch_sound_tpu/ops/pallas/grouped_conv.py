@@ -1044,10 +1044,11 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
                     (benchmarks/probes/results/SUMMARY.json, 2026-08-19):
                     dense layers (groups == 1) ride the Pallas kernel when
                     eligible; grouped layers go to XLA — as a DENSE conv
-                    with block-diagonal zero-expanded weights for low group
-                    counts (g <= 4: 2.2x over XLA's grouped lowering at the
-                    MSD's L1, 33 TF/s true-rate) and as XLA's native
-                    grouped conv for g >= 8 (177 TF/s executed at L5).
+                    with block-diagonal zero-expanded weights when the
+                    per-group reduction is narrow (cin/groups <= 32: 2.6x
+                    at the MSD's L1, 1.5x at L2, fwd+dx+dw) and as XLA's
+                    native grouped conv for wide groups (4x at L4, 7x at
+                    L5 over the dense expansion).
       'xla'       — XLA's grouped NTC conv.
       'xla_dense' — the zero-expanded dense formulation (executes
                     ``groups``x the true MACs at full 128-lane MXU fill).
@@ -1061,11 +1062,14 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
         interpret = False
         use_kernel = jax.default_backend() == 'tpu'
         if backend == 'auto' and groups > 1:
-            # measured decision table (kvar probe): the kernel loses on
-            # every grouped MSD geometry; dense expansion wins g<=4,
-            # grouped XLA g>=8
+            # measured decision table (kvar + dense probes, 2026-08-19):
+            # the kernel loses on every grouped MSD geometry; XLA's grouped
+            # lowering collapses when the per-group reduction is narrow, so
+            # dense expansion wins at cin/groups <= 32 (L1 2.6x, L2 1.5x
+            # fwd+dx+dw; L3 tie) and native grouped wins when groups are
+            # wide (L4 4x, L5 7x)
             use_kernel = False
-            expand = groups <= 4
+            expand = cg <= 32
     else:
         use_kernel = True   # explicit interpret runs always take the kernel
     if backend in ('xla', 'xla_dense'):
