@@ -203,10 +203,11 @@ def bench_vocoder(batch: int = 32, frames: int = 256, precision: str = 'highest'
 
 
 def bench_vocoder_v1(batch: int = 16, frames: int = 256,
-                     precision: str = 'highest'):
+                     precision: str = 'highest', fused: bool = True):
     """Mel->wav throughput of HiFi-GAN **v1** (the reference's MOS-4.3
     flagship, 14M params, stages 256/128/64/32 ch) on the fully-fused stage
-    path — the 256-ch stage 0 rides the wide kernel. The v1 checkpoint blob
+    path — the 256-ch stage 0 rides the wide kernel. ``fused=False`` times
+    the plain flax/XLA forward as the comparison row. The v1 checkpoint blob
     is absent from the reference mirror (`.MISSING_LARGE_BLOBS`), so weights
     are random folded-init; throughput is weight-agnostic.
     """
@@ -223,8 +224,11 @@ def bench_vocoder_v1(batch: int = 16, frames: int = 256,
 
     def step(carry):
         mel, acc = carry
-        wav = hg.generator_apply_fused(gen, params, mel, full_stage=True,
-                                       precision=precision)
+        if fused:
+            wav = hg.generator_apply_fused(gen, params, mel, full_stage=True,
+                                           precision=precision)
+        else:
+            wav = gen.apply(params, mel)
         mel = jnp.roll(mel, 1, axis=-1) * (1.0 + 1e-3 * jnp.tanh(wav.mean()))
         return mel, acc + wav.mean()
 
@@ -896,6 +900,9 @@ def main():
         _flush()
         details['vocoder_v1_samples_per_sec_bf16x3'] = bench_vocoder_v1(
             precision='bf16x3')
+        _flush()
+        details['vocoder_v1_samples_per_sec_unfused_xla'] = bench_vocoder_v1(
+            fused=False)
     _section('vocoder_v1', 300, sec_vocoder_v1)
 
     # GAN last: the big compile. With the persistent cache warm it runs in

@@ -46,6 +46,7 @@ CURRENT=ganprof;    want "$@" && run_job ganprof    3600 python benchmarks/probe
 CURRENT=kvar;       want "$@" && run_job kvar       3600 python benchmarks/probes/exp_kvar.py
 CURRENT=dense;      want "$@" && run_job dense      3600 python benchmarks/probes/exp_dense.py
 CURRENT=ganstep;    want "$@" && run_job ganstep    3600 python benchmarks/probes/exp_ganstep.py
+CURRENT=v1;         want "$@" && run_job v1         2700 python benchmarks/probes/exp_v1.py
 CURRENT=ganfused;   want "$@" && run_job ganfused   4500 python benchmarks/probes/exp_ganfused.py
 CURRENT=e2e;        want "$@" && run_job e2e        2700 python benchmarks/probes/exp_e2e.py
 echo "=== queue complete $(date -u +%FT%TZ)"
