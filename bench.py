@@ -523,14 +523,17 @@ def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
     generator + MPD + MSD, two optimizers).
 
     ``best_config=True`` (default) runs the measured-fastest configuration
-    on v5e: split two-jit step + channels-last (NTC) generator + Pallas
-    grouped-conv kernel on the MSD's first two layers, XLA on the deep
-    stack (6.91 vs 6.02 steps/s for the fused default-mask step, measured
-    same-session 2026-08-17; see docs/KERNELS.md "GAN training step
-    structure"). ``best_config=False`` runs the fused single-jit default.
+    on v5e (round-4 A/B, benchmarks/probes/results/): FUSED single-jit step
+    + channels-last (NTC) generator + the measured per-layer MSD backend
+    table — 14.04 steps/s vs 12.53 for the same config split into two jits
+    (XLA CSEs the disc-phase generator forward against the gen-phase tape)
+    and vs 6.91 for the round-2 split+Pallas-mask config.
+    ``best_config=False`` runs the split two-jit step (lighter compiles;
+    embeds the Pallas fused mel).
 
-    First compile is long (~13 min cold on v5e); main() enables the
-    persistent compilation cache so repeat runs amortize it.
+    With no Pallas kernels left in the discriminators the fused program
+    compiles in ~2 min on v5e (was 13-37 min with kernels embedded); main()
+    enables the persistent compilation cache so repeat runs amortize it.
     """
     import tempfile
 
@@ -569,7 +572,7 @@ def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
         optax.adamw(2e-4, b1=0.8, b2=0.99), optax.adamw(2e-4, b1=0.8, b2=0.99),
         None, None, max_step=1, valid_max_step=1, save_interval=10 ** 9,
         log_interval=10 ** 9, save_dir=tempfile.mkdtemp(prefix='bench_gan_'),
-        save_prefix='bench', seed=0, split_step=best_config)
+        save_prefix='bench', seed=0, split_step=not best_config)
 
     rng = np.random.default_rng(4)
     wav = rng.standard_normal((batch, fix_len)).astype(np.float32) * 0.1
@@ -913,7 +916,7 @@ def main():
         import pytorch_sound_tpu.models.vocoders.discriminators as _dm
         n_msd = int(os.environ.get('PSTPU_BENCH_MSD_PALLAS', '-1'))
         details['trainer_vctk_gan_config'] = {
-            'batch': 16, 'fix_len': 8192, 'split_step': True,
+            'batch': 16, 'fix_len': 8192, 'split_step': False,
             'gen_format': 'NTC',
             'msd_backends': (list(_dm.ScaleDiscriminator.backends)
                              if n_msd < 0 else

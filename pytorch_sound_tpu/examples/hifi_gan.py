@@ -48,12 +48,15 @@ class HiFiGANTrainer(Trainer):
         the generator with use_weight_norm=False.
 
         ``split_step``: run the adversarial update as TWO jitted programs
-        (disc phase, then gen phase) instead of one fused program. ~10%
-        slower steady-state through the tunnel (one extra dispatch +
-        boundary), but each program is half the size: compiles are lighter
-        and the gen phase can embed the Pallas fused mel (the fused
-        single-program step + Pallas mel OOM-kills the remote compile
-        helper). Default False = the fastest measured configuration."""
+        (disc phase, then gen phase) instead of one fused program. Measured
+        round-4 at the best masks (benchmarks/probes/results/): fused
+        14.04 steps/s vs split 12.53 — XLA CSEs the disc-phase generator
+        forward against the gen-phase tape, and one dispatch is saved.
+        Split remains useful for per-phase profiling and embeds the Pallas
+        fused mel (kernels inside the fused 85M-param program used to
+        OOM-kill the remote compile helper; with the round-4 masks the
+        discriminators carry no kernels and fused compiles in ~2 min).
+        Default False = the fastest measured configuration."""
         self.split_step = split_step
         self.generator = generator
         self.mpd = mpd
