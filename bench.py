@@ -370,7 +370,7 @@ def bench_preprocess_deviceloop(batch: int = 16, seconds: float = 4.0,
 
 def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
                          src_sr: int = 48000, batch: int = 64,
-                         wire: str = 'bf16'):
+                         wire: str = 'bf16', h2d: str = 'i16_src'):
     """Full BASELINE-config-1 path: wav decode (host parse only) ->
     ON-DEVICE Kaiser-polyphase resample -> RMS normalize -> fused log-mel,
     all one jitted program. utterances/sec.
@@ -383,6 +383,20 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
     scripts/preprocess.py extract_features — including its default 'bf16'
     feature wire (the tunnel's ~40 MB/s D2H fetch of the features is the
     e2e wall; bf16 halves it at ~3 decimal digits of log-mel precision).
+
+    ``h2d`` is the host->device audio wire (the round-4 leg probe,
+    benchmarks/probes/results/e2e.log, showed the fresh-content H2D upload
+    dominates the pipeline through the tunnel):
+      'i16_src'    — int16 at the source rate; the device resamples
+                     (exactest; 2 bytes/source-sample).
+      'i16_tgt'    — the native C++ pthread pipeline decodes AND resamples
+                     to the target rate, int16 wire (0.46x the bytes at
+                     48k->22.05k; the host Kaiser-24-tap polyphase replaces
+                     the device one — same prototype family, small log-mel
+                     delta recorded by the bench).
+      'mulaw8_tgt' — like 'i16_tgt' but mu-law-256 companded to ONE byte
+                     per sample (0.23x the bytes; the reference itself
+                     stores mu-law-256 waves — settings.MULAW_BINS).
     """
     import queue
     import tempfile
@@ -408,7 +422,8 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
     from pytorch_sound_tpu.ops.resample import resample_poly, rms_normalize
 
     target_sr = settings.SAMPLE_RATE
-    pad_len = int(seconds * src_sr) + 512          # source-rate padding
+    in_sr = src_sr if h2d == 'i16_src' else target_sr
+    pad_len = int(seconds * in_sr) + 512           # wire-rate padding
     args = (target_sr, settings.MEL_SIZE, settings.N_FFT, settings.WIN_LENGTH,
             settings.HOP_LENGTH, settings.MIN_DB, settings.MAX_DB,
             settings.MEL_MIN, settings.MEL_MAX)
@@ -418,7 +433,14 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
     def mel_fn(w_src):
         if w_src.dtype == jnp.int16:   # int16 wire: half the H2D bytes
             w_src = w_src.astype(jnp.float32) * (1.0 / 32768.0)
-        w = rms_normalize(resample_poly(w_src, src_sr, target_sr))
+        elif w_src.dtype == jnp.uint8:   # mu-law-256 wire: one byte/sample
+            mu = 255.0
+            y = w_src.astype(jnp.float32) * (2.0 / mu) - 1.0
+            w_src = jnp.sign(y) * ((jnp.power(1.0 + mu, jnp.abs(y)) - 1.0)
+                                   / mu)
+        if in_sr != target_sr:
+            w_src = resample_poly(w_src, src_sr, target_sr)
+        w = rms_normalize(w_src)
         if on_tpu:
             mel = fused_log_mel(w, *args, precision='bf16x3')
         else:
@@ -431,7 +453,29 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
             return q8, jnp.concatenate([scale[:, 0, :], mn[:, 0, :]], axis=-1)
         return mel.astype(jnp.bfloat16) if wire == 'bf16' else mel
 
+    def _host_resampled(chunk):
+        """(n, pad_len) f32 at the target rate via the native C++ pipeline
+        (parallel decode + Kaiser-polyphase resample)."""
+        if not native.available():
+            raise RuntimeError(
+                "h2d='%s' needs the native pipeline (csrc/)" % h2d)
+        wavs = native.batch_load(chunk, target_sr=target_sr,
+                                 max_seconds=seconds + 1.0)
+        if any(w is None for w in wavs):
+            raise RuntimeError('native decode failed for a file')
+        return np.stack([
+            np.pad(w[:pad_len], (0, max(0, pad_len - len(w))))
+            for w in wavs]).astype(np.float32)
+
     def decode(chunk):
+        if h2d == 'i16_tgt':
+            m = _host_resampled(chunk)
+            return np.clip(m * 32768.0, -32768, 32767).astype(np.int16)
+        if h2d == 'mulaw8_tgt':
+            m = np.clip(_host_resampled(chunk), -1.0, 1.0)
+            mu = 255.0
+            y = np.sign(m) * np.log1p(mu * np.abs(m)) / np.log1p(mu)
+            return ((y + 1.0) * 0.5 * mu + 0.5).astype(np.uint8)
         if native.available():
             # contiguous zero-copy (n, pad_len) int16 rows straight from disk
             mat, _lens, _srs = native.batch_load_i16(chunk, pad_len)
@@ -477,6 +521,78 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
 
     dt = _timeit(run_pipeline, warmup=1, iters=3)
     return n_files / dt
+
+
+def bench_preprocess_wire_accuracy(n: int = 16, seconds: float = 4.0,
+                                   src_sr: int = 48000):
+    """Log-mel delta of each H2D audio wire vs the f32 source-rate
+    reference path (device resample + RMS + XLA f32 log-mel fixed across
+    variants, so the deltas isolate the wire/resampler choice).
+
+    Returns {wire: {'max_abs': .., 'mean_abs': ..}}. 'i16_tgt' and
+    'mulaw8_tgt' also carry the host-vs-device resampler difference (both
+    Kaiser-windowed polyphase; see csrc/tpusound.cc ts_resample vs
+    ops/resample.resample_poly).
+    """
+    import jax.numpy as jnp
+    from pytorch_sound_tpu import native, settings
+    from pytorch_sound_tpu.ops.mel import log_mel_spectrogram
+    from pytorch_sound_tpu.ops.resample import resample_poly, rms_normalize
+    from pytorch_sound_tpu.utils import wavio
+    import tempfile
+
+    target_sr = settings.SAMPLE_RATE
+    args = (target_sr, settings.MEL_SIZE, settings.N_FFT, settings.WIN_LENGTH,
+            settings.HOP_LENGTH, settings.MIN_DB, settings.MAX_DB,
+            settings.MEL_MIN, settings.MEL_MAX)
+    rng = np.random.default_rng(9)
+    d = tempfile.mkdtemp(prefix='bench_ppacc_')
+    n_src = int(src_sr * seconds)
+    paths, raws = [], []
+    for i in range(n):
+        w = (0.1 * rng.standard_normal(n_src)).astype(np.float32)
+        # write int16 (the corpus norm) and use the same quantized signal
+        # as the reference input so 'i16_src' isolates pure wire rounding
+        q = np.clip(np.round(w * 32767.0), -32768, 32767)
+        p = '%s/%d.wav' % (d, i)
+        wavio.write_wav(p, (q / 32767.0).astype(np.float32), src_sr,
+                        dtype='int16')
+        paths.append(p)
+        raws.append((q / 32768.0).astype(np.float32))
+    raw = jnp.asarray(np.stack(raws))
+
+    def mel_of_src(w_src):
+        return log_mel_spectrogram(
+            rms_normalize(resample_poly(w_src, src_sr, target_sr)), *args)
+
+    def mel_of_tgt(w_tgt):
+        return log_mel_spectrogram(rms_normalize(w_tgt), *args)
+
+    ref = np.asarray(mel_of_src(raw))
+    out = {}
+
+    def rec(name, mel):
+        mel = np.asarray(mel)
+        t = min(mel.shape[-1], ref.shape[-1]) - 1   # drop the edge frame
+        delta = np.abs(mel[..., :t] - ref[..., :t])
+        out[name] = {'max_abs': float(delta.max()),
+                     'mean_abs': float(delta.mean())}
+
+    if native.available():
+        host = native.batch_load(paths, target_sr=target_sr,
+                                 max_seconds=seconds + 1.0)
+        t_len = min(len(w) for w in host)
+        host = np.stack([w[:t_len] for w in host]).astype(np.float32)
+        rec('i16_tgt', mel_of_tgt(jnp.asarray(
+            np.clip(np.round(host * 32768.0), -32768, 32767) / 32768.0)))
+        mu = 255.0
+        y = np.sign(np.clip(host, -1, 1)) * \
+            np.log1p(mu * np.abs(np.clip(host, -1, 1))) / np.log1p(mu)
+        q8 = np.floor((y + 1.0) * 0.5 * mu + 0.5)
+        yd = q8 * (2.0 / mu) - 1.0
+        dec = np.sign(yd) * ((np.power(1.0 + mu, np.abs(yd)) - 1.0) / mu)
+        rec('mulaw8_tgt', mel_of_tgt(jnp.asarray(dec.astype(np.float32))))
+    return out
 
 
 def bench_trainer(batch: int = 8, fix_len: int = 16384, iters: int = 10):
@@ -874,10 +990,29 @@ def main():
             'fused_vs_xla_ratio': dl_fused / dl_xla,
             'fused_f32_vs_xla_ratio': dl_f32 / dl_xla}
         _flush()
-        details['preprocess_e2e_utterances_per_sec'] = bench_preprocess_e2e()
+        # e2e wire ladder: the round-4 leg probe showed fresh-content H2D
+        # dominates through the tunnel, so the pipeline ships fewer bytes
+        # each rung; per-wire log-mel deltas recorded alongside.
+        details['preprocess_e2e_wire_logmel_delta'] = \
+            bench_preprocess_wire_accuracy()
         _flush()
-        details['preprocess_e2e_utterances_per_sec_int8'] = \
-            bench_preprocess_e2e(wire='int8')
+        e2e = {}
+        e2e['i16_src_bf16'] = bench_preprocess_e2e()
+        _flush()
+        e2e['i16_src_int8'] = bench_preprocess_e2e(wire='int8')
+        _flush()
+        try:
+            e2e['mulaw8_tgt_int8'] = bench_preprocess_e2e(
+                wire='int8', h2d='mulaw8_tgt')
+            _flush()
+            e2e['i16_tgt_int8'] = bench_preprocess_e2e(
+                wire='int8', h2d='i16_tgt')
+        except Exception as e:
+            e2e['h2d_wire_error'] = repr(e)[:160]
+        details['preprocess_e2e_variants'] = e2e
+        best = max((v, k) for k, v in e2e.items() if isinstance(v, float))
+        details['preprocess_e2e_utterances_per_sec'] = best[0]
+        details['preprocess_e2e_config'] = best[1]
         _flush()
         details['preprocess_utterances_per_sec_chained'] = bench_preprocess(
             fused=True)
