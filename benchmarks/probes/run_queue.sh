@@ -48,5 +48,7 @@ CURRENT=dense;      want "$@" && run_job dense      3600 python benchmarks/probe
 CURRENT=ganstep;    want "$@" && run_job ganstep    3600 python benchmarks/probes/exp_ganstep.py
 CURRENT=v1;         want "$@" && run_job v1         2700 python benchmarks/probes/exp_v1.py
 CURRENT=ganfused;   want "$@" && run_job ganfused   4500 python benchmarks/probes/exp_ganfused.py
+CURRENT=e2ewire;    want "$@" && run_job e2ewire    2700 python benchmarks/probes/exp_e2ewire.py
+CURRENT=e2ewire2;   want "$@" && run_job e2ewire2   2700 python benchmarks/probes/exp_e2ewire2.py
 CURRENT=e2e;        want "$@" && run_job e2e        2700 python benchmarks/probes/exp_e2e.py
 echo "=== queue complete $(date -u +%FT%TZ)"

@@ -432,7 +432,10 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # v1's 256-wide stage keeps ~75 MB of f32 weight taps VMEM-
+            # resident; 100 MB left it 20 MB short on the real chip (v5e has
+            # 128 MB VMEM) — measured demand is 120.3 MB at (B=16, T=2048)
+            vmem_limit_bytes=127 * 1024 * 1024,
             dimension_semantics=('parallel', 'arbitrary')),
         interpret=interpret,
     )(xlo, xhi, up_lo, up_hi, up_bias[None, :], taps, bias_arr,
