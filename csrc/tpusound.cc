@@ -333,6 +333,99 @@ int ts_batch_load(const char** paths, int n_files, int target_sr,
 }
 
 // ---------------------------------------------------------------------------
+// Target-rate wire-format batch decode: decode -> resample to target_sr ->
+// reflect-tail -> quantize, each file in a worker thread, rows written into
+// one contiguous zero-padded matrix. mode 0 = int16 rows; mode 1 =
+// mu-law-256 uint8 rows (matches ts_mulaw_encode). tail_ext > 0 mirrors up
+// to that many trailing samples into the zero tail (the mel half-window
+// context; see scripts/preprocess.py extract_features). lens[i] = produced
+// sample count at the target rate (<0 on error).
+// ---------------------------------------------------------------------------
+
+int ts_batch_load_wire(const char** paths, int n_files, int target_sr,
+                       void* out, int64_t pad_len, int mode, int tail_ext,
+                       int64_t* lens, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> workers;
+  auto work = [&](int tid) {
+    std::vector<float> row((size_t)pad_len);
+    for (int i = tid; i < n_files; i += n_threads) {
+      int16_t* row16 = (int16_t*)out + (size_t)i * pad_len;
+      uint8_t* row8 = (uint8_t*)out + (size_t)i * pad_len;
+      auto zero_row = [&]() {
+        if (mode == 1) {
+          // mu-law code for 0.0 is 128 after rounding; keep the padded
+          // tail at the SAME code the device decodes to exactly 0 region
+          memset(row8, 128, (size_t)pad_len);
+        } else {
+          memset(row16, 0, (size_t)pad_len * 2);
+        }
+      };
+      int sr = 0, ch = 0, bits = 0;
+      int64_t frames = 0;
+      if (ts_wav_info(paths[i], &sr, &frames, &ch, &bits) != 0) {
+        lens[i] = -1;
+        zero_row();
+        continue;
+      }
+      std::vector<float> buf((size_t)frames);
+      int64_t got = ts_read_wav(paths[i], buf.data(), frames, &sr);
+      if (got < 0) {
+        lens[i] = -2;
+        zero_row();
+        continue;
+      }
+      std::fill(row.begin(), row.end(), 0.0f);
+      int64_t produced;
+      if (sr != target_sr && target_sr > 0) {
+        int64_t g = std::gcd((int64_t)sr, (int64_t)target_sr);
+        int up = (int)(target_sr / g), down = (int)(sr / g);
+        int64_t need = ts_resample_out_len(got, up, down);
+        if (need > pad_len) {
+          // resample in full, then crop — cropping the SOURCE first would
+          // put the resampler's edge transient at the crop point (the
+          // python path crops after resampling)
+          std::vector<float> full((size_t)need);
+          ts_resample(buf.data(), got, full.data(), up, down);
+          memcpy(row.data(), full.data(), (size_t)pad_len * 4);
+          produced = pad_len;
+        } else {
+          produced = ts_resample(buf.data(), got, row.data(), up, down);
+        }
+      } else {
+        produced = got < pad_len ? got : pad_len;
+        memcpy(row.data(), buf.data(), (size_t)produced * 4);
+      }
+      if (tail_ext > 0) {
+        int64_t e = tail_ext;
+        if (e > produced - 1) e = produced - 1;
+        if (e > pad_len - produced) e = pad_len - produced;
+        for (int64_t j = 0; j < e; ++j)
+          row[produced + j] = row[produced - 2 - j];
+      }
+      if (mode == 1) {
+        double mu = 255.0;
+        double ln1pmu = log1p(mu);
+        for (int64_t j = 0; j < pad_len; ++j) {
+          double v = row[j] < -1 ? -1 : (row[j] > 1 ? 1 : row[j]);
+          double y = copysign(log1p(mu * fabs(v)) / ln1pmu, v);
+          row8[j] = (uint8_t)((y + 1.0) / 2.0 * mu + 0.5);
+        }
+      } else {
+        for (int64_t j = 0; j < pad_len; ++j) {
+          float v = row[j] * 32768.0f;
+          row16[j] = (int16_t)(v < -32768 ? -32768 : (v > 32767 ? 32767 : v));
+        }
+      }
+      lens[i] = produced;
+    }
+  };
+  for (int t = 0; t < n_threads; ++t) workers.emplace_back(work, t);
+  for (auto& w : workers) w.join();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // int16 wire-format batch decode: rows of a contiguous (n_files, pad_len)
 // int16 matrix, zero-padded — the host->device payload for the on-device
 // resample+mel pipeline (half the bytes of f32, and the device converts with

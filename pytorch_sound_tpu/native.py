@@ -85,6 +85,12 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.c_int]
     lib.ts_batch_load_i16.restype = ctypes.c_int
 
+    lib.ts_batch_load_wire.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int]
+    lib.ts_batch_load_wire.restype = ctypes.c_int
+
     _lib = lib
     return _lib
 
@@ -186,6 +192,36 @@ def batch_load(paths: List[str], target_sr: int = 0, norm_db: float = -23.0,
                       c_outs, c_caps, c_lens, n_threads)
     return [bufs[i][:c_lens[i]].copy() if c_lens[i] >= 0 else None
             for i in range(n)]
+
+
+def batch_load_wire(paths: List[str], target_sr: int, pad_len: int,
+                    mode: str = 'i16', tail_ext: int = 0,
+                    n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Parallel decode -> resample(target_sr) -> reflect-tail -> quantize,
+    rows of ONE contiguous zero-padded matrix — the target-rate H2D wire
+    for the on-device mel pipeline, with no numpy pass on the 1-core host.
+
+    ``mode``: 'i16' (int16 rows) or 'mulaw8' (mu-law-256 uint8 rows,
+    matching ``ts_mulaw_encode``; padding holds code 128 = +8.6e-5 after
+    decode). ``tail_ext``: mirror up to that many trailing samples into the
+    zero tail (the mel half-window context). Returns (matrix, lens) with
+    lens[i] < 0 on per-file failure (its row is zeroed).
+    """
+    lib = load_library()
+    n = len(paths)
+    dt = np.uint8 if mode == 'mulaw8' else np.int16
+    out = np.zeros((max(n, 1), pad_len), dtype=dt)
+    lens = np.zeros(max(n, 1), dtype=np.int64)
+    if n == 0:
+        return out[:0], lens[:0]
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.ts_batch_load_wire(c_paths, n, target_sr,
+                           out.ctypes.data_as(ctypes.c_void_p), pad_len,
+                           1 if mode == 'mulaw8' else 0, tail_ext, lens,
+                           n_threads)
+    return out, lens
 
 
 def batch_load_i16(paths: List[str], pad_len: int, n_threads: int = 0

@@ -316,8 +316,10 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
         # (c_out, c_out) — Mosaic tiles the wider matmuls onto the MXU
         pack, width = 1, c_out
         # wide tiles hold (tile + 2*HALO, width) f32 intermediates; cap the
-        # tile so ~8 live values + the 2-plane scratch stay well under VMEM
-        tile_t = min(tile_t, 2048)
+        # tile so ~8 live values + the 2-plane scratch + the ~75 MB of
+        # resident f32 taps fit the chip: 2048 measured 130.1 MB total on
+        # v5e (128 MB VMEM), 1024 leaves headroom
+        tile_t = min(tile_t, 1024)
     else:
         pack, width = best_pack(n, c_out), LANE
     pad = (k_up - u) // 2
@@ -434,8 +436,9 @@ def fused_generator_stage(x: jnp.ndarray, up_params: dict, stage: dict,
         compiler_params=pltpu.CompilerParams(
             # v1's 256-wide stage keeps ~75 MB of f32 weight taps VMEM-
             # resident; 100 MB left it 20 MB short on the real chip (v5e has
-            # 128 MB VMEM) — measured demand is 120.3 MB at (B=16, T=2048)
-            vmem_limit_bytes=127 * 1024 * 1024,
+            # 128 MB VMEM) and 127 MB overshot the chip by 2.1 MB at
+            # tile 2048 — 124 MB cap + tile 1024 fits
+            vmem_limit_bytes=124 * 1024 * 1024,
             dimension_semantics=('parallel', 'arbitrary')),
         interpret=interpret,
     )(xlo, xhi, up_lo, up_hi, up_bias[None, :], taps, bias_arr,

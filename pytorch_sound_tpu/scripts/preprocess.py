@@ -744,30 +744,17 @@ class Processor:
                 names = [os.path.splitext(os.path.basename(p))[0]
                          for p in chunk]
                 if host_resample:
-                    wavs = native.batch_load(chunk, target_sr=sample_rate,
-                                             max_seconds=pad_seconds)
-                    lens, rows, kept = [], [], []
-                    for nm, w in zip(names, wavs):
-                        if w is None or not len(w):
-                            continue
-                        w = w[:_pad_len]
-                        lens.append(len(w))
-                        rows.append(np.pad(w, (0, _pad_len - len(w))))
-                        kept.append(nm)
-                    if not rows:
-                        return None, lens, kept
-                    mat = reflect_tail(np.stack(rows).astype(np.float32),
-                                       lens)
-                    if h2d == 'mulaw8_tgt':
-                        mu = 255.0
-                        c = np.clip(mat, -1.0, 1.0)
-                        y = np.sign(c) * np.log1p(mu * np.abs(c)) \
-                            / np.log1p(mu)
-                        mat = ((y + 1.0) * 0.5 * mu + 0.5).astype(np.uint8)
-                    else:
-                        mat = np.clip(mat * 32768.0, -32768,
-                                      32767).astype(np.int16)
-                    return mat, lens, kept
+                    # one C pass: decode -> resample -> reflect-tail ->
+                    # quantize (no numpy work on the host thread)
+                    mat, raw_lens = native.batch_load_wire(
+                        chunk, sample_rate, _pad_len,
+                        mode='mulaw8' if h2d == 'mulaw8_tgt' else 'i16',
+                        tail_ext=tail_ext)
+                    keep = raw_lens >= 0
+                    mat, raw_lens = mat[keep], raw_lens[keep]
+                    kept = [nm for nm, k in zip(names, keep) if k]
+                    lens = [int(n) for n in raw_lens]
+                    return (mat if len(mat) else None), lens, kept
                 if native.available():
                     # contiguous (n, pad_len) int16 rows straight from disk
                     mat, raw_lens, _ = native.batch_load_i16(chunk, _pad_len)

@@ -165,3 +165,44 @@ def test_batch_load_i16_fast_path_checks_format_tag(tmp_path):
     # int16 is exact) — decoded-as-PCM bytes equal the original payload here
     np.testing.assert_array_equal(mat[2, :1000], pcm)
     assert not mat[:, 1000:].any()
+
+
+def test_batch_load_wire_matches_batch_load(tmp_path):
+    """The one-pass C wire loader (decode->resample->reflect->quantize) is
+    the f32 pipeline + quantization, exactly: i16 within 1 LSB, mu-law-256
+    within the companding bound; crop happens AFTER resampling (no edge
+    transient at pad_len)."""
+    import numpy as np
+    import pytest
+    from pytorch_sound_tpu import native
+    from pytorch_sound_tpu.utils import wavio
+
+    if not native.available():
+        pytest.skip('native library not built')
+    rng = np.random.default_rng(5)
+    paths = []
+    for i, n in enumerate((48000, 48999, 50000)):   # last exceeds pad
+        p = str(tmp_path / ('%d.wav' % i))
+        wavio.write_wav(p, (0.1 * rng.standard_normal(n)).astype(np.float32),
+                        48000, dtype='int16')
+        paths.append(p)
+    pad = 22050 + 512
+    m16, l16 = native.batch_load_wire(paths, 22050, pad, mode='i16',
+                                      tail_ext=516)
+    m8, l8 = native.batch_load_wire(paths, 22050, pad, mode='mulaw8',
+                                    tail_ext=516)
+    ref = native.batch_load(paths, target_sr=22050)
+    assert m16.dtype == np.int16 and m8.dtype == np.uint8
+    for i in range(3):
+        n = min(len(ref[i]), pad)
+        assert l16[i] == n and l8[i] == n
+        err = np.abs(m16[i, :n].astype(np.float32) / 32768.0
+                     - ref[i][:n]).max()
+        assert err < 1.0 / 32768 + 1e-6
+        dec = native.mulaw_decode(m8[i, :n].astype(np.int32))
+        assert np.abs(dec - ref[i][:n]).max() < 0.02
+        # reflect tail: row continues past n with mirrored samples
+        if pad - n > 4:
+            got = m16[i, n:n + 3].astype(np.float32) / 32768.0
+            want = ref[i][n - 2:n - 5:-1]
+            assert np.abs(got - want).max() < 1.0 / 32768 + 1e-6
