@@ -873,11 +873,15 @@ def _flush():
         json.dump(_DETAILS, w, indent=2)
 
 
-def _print_headline():
+def _print_headline(final=False):
     if _PRINTED[0]:
         return
-    _PRINTED[0] = True
     value = _DETAILS.get('vocoder_samples_per_sec', 0.0) or 0.0
+    if not value and not final:
+        # cold-compile timeout in the headline section: hold the stdout
+        # contract for the end-of-run retry instead of printing a zero
+        return
+    _PRINTED[0] = True
     line = {
         'metric': 'vocoder_samples_per_sec',
         'value': round(value, 1),
@@ -895,7 +899,7 @@ def _on_sigterm(signum, frame):
     _DETAILS['terminated_early'] = 'signal %d at %.0fs' % (
         signum, time.time() - _T0)
     _flush()
-    _print_headline()
+    _print_headline(final=True)
     os._exit(0)
 
 
@@ -973,13 +977,18 @@ def main():
         # headline = f32-HIGHEST (parity <=1e-5 vs flax on the real
         # checkpoint); bf16x3 is the fast preview mode (~35 dB SNR vs f32)
         # and is recorded alongside, not as headline
+        # flush after every metric: a cold-compile timeout mid-section must
+        # not lose the metrics already measured
         details['vocoder_samples_per_sec'] = bench_vocoder()
+        _flush()
         details['vocoder_samples_per_sec_bf16x3'] = bench_vocoder(
             precision='bf16x3')
+        _flush()
         details['vocoder_bf16x3_waveform_max_err'] = _vocoder_parity_err()
+        _flush()
         details['streaming_decode_samples_per_sec'] = bench_streaming_decode()
     _section('vocoder', 420, sec_vocoder)
-    _print_headline()   # stdout contract satisfied from here on
+    _print_headline()   # prints now when the headline value exists
 
     def sec_preprocess():
         # device-loop slope variants: one dispatch per run and the slope
@@ -1067,8 +1076,15 @@ def main():
         details['trainer_steps_per_sec_vctk_gan'] = bench_trainer_vctk_gan()
     _section('trainer_vctk_gan', max(120.0, _remaining() - 30), sec_gan)
 
+    # Headline retry: if the vocoder section lost its budget to a cold
+    # compile (cache-key churn after a kernel change), spend whatever is
+    # left finishing it — the partial compiles it cached make the retry
+    # cheaper than the first attempt.
+    if 'vocoder_samples_per_sec' not in details and _remaining() > 60:
+        _section('vocoder_retry', _remaining() - 15, sec_vocoder)
+
     _flush()
-    _print_headline()
+    _print_headline(final=True)
 
 
 if __name__ == '__main__':
