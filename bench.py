@@ -1057,7 +1057,7 @@ def main():
         _flush()
         details['vocoder_v1_samples_per_sec_unfused_xla'] = bench_vocoder_v1(
             fused=False)
-    _section('vocoder_v1', 300, sec_vocoder_v1)
+    _section('vocoder_v1', 420, sec_vocoder_v1)
 
     # GAN last: the big compile. With the persistent cache warm it runs in
     # ~2 min; cold it cannot fit a driver budget and gets cleanly skipped.
