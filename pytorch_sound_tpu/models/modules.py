@@ -6,8 +6,9 @@ softmax over the key axis, mask-fill semantics).
 
 TPU-first notes: projections are dense matmuls on (N, T, C) internally (MXU);
 attention is computed per-head with einsum instead of the reference's
-fold-heads-into-batch bmm trick — same math, better XLA fusion.  For long
-sequences a blockwise (flash-style) path is available via ``block_size``.
+fold-heads-into-batch bmm trick — same math, better XLA fusion.  Long
+sequences auto-dispatch to a blockwise (flash-style) path (``block_size`` /
+``auto_threshold`` on :class:`MultiHeadAttention`).
 """
 
 from typing import Optional, Tuple
@@ -27,7 +28,15 @@ class MultiHeadAttention(nn.Module):
     hidden_dim: int
     heads: int
     dropout_rate: float = 0.0
-    block_size: int = 0   # >0: blockwise (flash-style) path, O(T*block) memory
+    # 0 (default): AUTO — dense below ``auto_threshold`` frames, blockwise
+    #   (flash-style, O(T*block) memory) at/above it. >0: always blockwise
+    #   with that key-block size. <0: always dense (the reference's O(T^2)
+    #   bmm semantics, which fails to even compile at T=8192 on v5e).
+    block_size: int = 0
+    # measured crossover (flash_sweep, v5e 2026-08: bf16x3 flash 1.7x dense
+    # at T=4096 fwd+bwd; dense OOMs the compiler at T=8192). Note the
+    # blockwise path returns att=None (the (T, T) map never exists).
+    auto_threshold: int = 4096
 
     @nn.compact
     def __call__(self, input: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -44,12 +53,15 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(n, t, self.heads, head_dim)
         q = q.reshape(n, t, self.heads, head_dim)
 
-        if self.block_size:
+        use_blockwise = (self.block_size > 0 or
+                         (self.block_size == 0 and t >= self.auto_threshold))
+        if use_blockwise:
             from pytorch_sound_tpu.ops.attention import blockwise_attention
             out = blockwise_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), mask=mask,
-                block_size=self.block_size)                       # (N, H, T, D)
+                block_size=self.block_size if self.block_size > 0 else 512)
+            # out: (N, H, T, D)
             if mask is not None:
                 out = jnp.where(mask[:, None, :, None], 0.0, out)
             out = out.transpose(0, 2, 1, 3).reshape(n, t, c)

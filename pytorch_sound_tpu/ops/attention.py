@@ -48,9 +48,11 @@ def blockwise_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         'highest' — while beating dense end-to-end), 'highest' (6-pass f32),
         or 'default' (single-pass bf16 MXU, fastest, ~3e-3 error). The lax
         backend treats 'bf16x3' as f32-HIGHEST.
-    :param autotune_block: let the pallas backend pick measured-fast tile
-        sizes from ``block_size`` (see above). The lax backend always honors
-        ``block_size`` exactly.
+    :param autotune_block: when True (default) the pallas backend IGNORES
+        ``block_size`` and uses the measured-winner tiles (512, 1024), clamped
+        to the padded sequence length (see above); set False to honor
+        ``block_size`` exactly (e.g. to bound VMEM). The lax backend always
+        honors ``block_size`` exactly.
     :return: (N, H, Tq, D) attention output
     """
     if backend == 'auto':

@@ -41,8 +41,12 @@ def cached_dct(n_mfcc: int, n_mels: int, norm: str = 'ortho') -> jnp.ndarray:
 
 
 def db_to_log(db: float) -> float:
-    """Decibel -> natural-log power scale (static Python float)."""
-    return float(np.log(np.power(10.0, db / 10.0)))
+    """Decibel -> natural-log power scale (static Python float).
+
+    Algebraic form ``db/10 * ln(10)`` — overflow-free for any finite ``db``
+    (the literal ``log(10**(db/10))`` overflows to inf past |db| ~ 3000).
+    """
+    return float(db / 10.0 * np.log(10.0))
 
 
 def log_mel_spectrogram(wav: jnp.ndarray, sample_rate: int, mel_size: int,

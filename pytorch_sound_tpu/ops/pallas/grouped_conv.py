@@ -1045,10 +1045,10 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
                     dense layers (groups == 1) ride the Pallas kernel when
                     eligible; grouped layers go to XLA — as a DENSE conv
                     with block-diagonal zero-expanded weights when the
-                    per-group reduction is narrow (cin/groups <= 32: 2.6x
+                    per-group reduction is narrow (cin/groups < 32: 2.6x
                     at the MSD's L1, 1.5x at L2, fwd+dx+dw) and as XLA's
-                    native grouped conv for wide groups (4x at L4, 7x at
-                    L5 over the dense expansion).
+                    native grouped conv from cin/groups == 32 up (L3 10%,
+                    L4 4x, L5 7x over the dense expansion).
       'xla'       — XLA's grouped NTC conv.
       'xla_dense' — the zero-expanded dense formulation (executes
                     ``groups``x the true MACs at full 128-lane MXU fill).
@@ -1065,11 +1065,11 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
             # measured decision table (kvar + dense probes, 2026-08-19):
             # the kernel loses on every grouped MSD geometry; XLA's grouped
             # lowering collapses when the per-group reduction is narrow, so
-            # dense expansion wins at cin/groups <= 32 (L1 2.6x, L2 1.5x
-            # fwd+dx+dw; L3 tie) and native grouped wins when groups are
-            # wide (L4 4x, L5 7x)
+            # dense expansion wins at cin/groups < 32 (L1 2.6x, L2 1.5x
+            # fwd+dx+dw) and native grouped wins from cg == 32 up (L3
+            # 0.88 ms native vs 0.97 dense; L4 4x, L5 7x)
             use_kernel = False
-            expand = cg <= 32
+            expand = cg < 32
     else:
         use_kernel = True   # explicit interpret runs always take the kernel
     if backend in ('xla', 'xla_dense'):

@@ -31,6 +31,29 @@ def test_mha_shapes_and_mask():
     assert np.isfinite(np.asarray(out_m)).all()
 
 
+def test_mha_auto_dispatches_blockwise_above_threshold():
+    """block_size=0 (default) auto-selects the blockwise path once T reaches
+    auto_threshold: same output as dense, att=None (no (T,T) map exists)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64)), dtype=jnp.float32)
+    mask = jnp.zeros((2, 64), dtype=bool).at[:, 50:].set(True)
+
+    dense = MultiHeadAttention(hidden_dim=32, heads=4, block_size=-1)
+    auto = MultiHeadAttention(hidden_dim=32, heads=4, auto_threshold=64)
+    params = dense.init(jax.random.PRNGKey(0), x)
+
+    out_d, att_d = dense.apply(params, x, mask)
+    out_a, att_a = auto.apply(params, x, mask)     # T=64 >= threshold
+    assert att_d is not None and att_a is None
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_d),
+                               rtol=2e-5, atol=2e-5)
+
+    # below the threshold, auto stays dense (att map returned)
+    short = x[:, :, :32]
+    _, att_s = auto.apply(params, short, mask[:, :32])
+    assert att_s is not None and att_s.shape == (2, 4, 32, 32)
+
+
 def test_ffn():
     m = PointwiseFeedForward(hidden_dim=16, dropout_rate=0.0)
     x = jnp.asarray(np.random.default_rng(1).standard_normal((3, 16, 5)),
