@@ -25,18 +25,22 @@ class MaestroMeta(MetaFrame):
                  max_wav_rate: float = 0.0, sr: int = 44100):
         self.meta_path = meta_path
         self.root_dir = os.path.split(self.meta_path)[-2]
-        if os.path.exists(self.meta_path):
-            if self.meta_path.endswith('csv'):
-                self._meta = pd.read_csv(self.meta_path)
-            elif self.meta_path.endswith('json'):
-                self._meta = pd.read_json(self.meta_path)
-            else:
-                raise RuntimeError('You should use official maestro meta file !')
-        else:
-            raise RuntimeError('{} is not exists !'.format(meta_path))
+        self._meta = self._read_official_meta(meta_path)
         self.min_wav_rate = min_wav_rate
         self.max_wav_rate = max_wav_rate
         self.sr = sr
+
+    @staticmethod
+    def _read_official_meta(path: str) -> pd.DataFrame:
+        if not os.path.exists(path):
+            raise RuntimeError(f'meta file not found: {path}')
+        readers = {'.csv': pd.read_csv, '.json': pd.read_json}
+        reader = readers.get(os.path.splitext(path)[1])
+        if reader is None:
+            raise RuntimeError(
+                f'unsupported meta format {path!r}: point this at the '
+                f'official maestro-v1.0.0 .csv or .json metadata file')
+        return reader(path)
 
     @property
     def columns(self) -> List[Tuple[MetaType, str]]:
@@ -52,21 +56,19 @@ class MaestroMeta(MetaFrame):
 
     def save_meta(self, meta_dir: str, all_frame: pd.DataFrame,
                   train_frame: pd.DataFrame, val_frame: pd.DataFrame):
-        file_paths = [os.path.join(meta_dir, name) for name in self.frame_file_names]
-        all_frame.to_json(file_paths[0])
-        train_frame.to_json(file_paths[1])
-        val_frame.to_json(file_paths[2])
+        for name, frame in zip(self.frame_file_names,
+                               (all_frame, train_frame, val_frame)):
+            frame.to_json(os.path.join(meta_dir, name))
 
     def make_meta(self):
         """Absolutize the official meta's relative paths and split train/val."""
-        self._meta['audio_filename'] = [
-            os.path.join(self.root_dir, name) for name in self._meta['audio_filename']]
-        self._meta['midi_filename'] = [
-            os.path.join(self.root_dir, name) for name in self._meta['midi_filename']]
+        for col in ('audio_filename', 'midi_filename'):
+            self._meta[col] = [os.path.join(self.root_dir, rel)
+                               for rel in self._meta[col]]
 
-        print('Make train / val meta')
+        print('splitting maestro meta into train / val frames')
         train_meta, val_meta = split_train_val_frame(self._meta)
-        print('Save meta frames on {}'.format(' '.join(self.frame_file_names)))
+        print(f"writing meta frames: {' '.join(self.frame_file_names)}")
         self.save_meta(self.root_dir, self._meta, train_meta, val_meta)
 
 
