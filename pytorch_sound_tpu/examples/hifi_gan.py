@@ -41,7 +41,8 @@ class HiFiGANTrainer(Trainer):
 
     def __init__(self, generator, mpd, msd, gen_optimizer, disc_optimizer,
                  *args, generator_warm_start: str = None,
-                 split_step: bool = False, **kwargs):
+                 split_step: bool = False, msd_folded: bool = False,
+                 **kwargs):
         """``generator_warm_start``: path to a folded generator msgpack (e.g.
         the converted bundled checkpoint) to fine-tune from. Note the bundled
         checkpoints are weight-norm-folded, so warm starts require building
@@ -56,8 +57,14 @@ class HiFiGANTrainer(Trainer):
         fused mel (kernels inside the fused 85M-param program used to
         OOM-kill the remote compile helper; with the round-4 masks the
         discriminators carry no kernels and fused compiles in ~2 min).
-        Default False = the fastest measured configuration."""
+        Default False = the fastest measured configuration.
+
+        ``msd_folded``: apply the MSD as ONE block-diagonal grouped stack
+        over all scales (`discriminators.msd_apply_folded`) instead of three
+        per-scale stacks — identical math and parameter tree (exactness
+        covered by tests), 8 convs per pass instead of 24."""
         self.split_step = split_step
+        self.msd_folded = msd_folded
         self.generator = generator
         self.mpd = mpd
         self.msd = msd
@@ -122,6 +129,14 @@ class HiFiGANTrainer(Trainer):
             return fused_hifigan_mel_trainable(wav)
         return mel_ops.hifigan_mel_spectrogram(wav, **MEL_KW)
 
+    def _apply_disc(self, disc_key, params, x):
+        """Apply one discriminator family (the MSD optionally folded)."""
+        if disc_key == 'msd' and self.msd_folded:
+            import pytorch_sound_tpu.models.vocoders.discriminators as disc_mod
+            return disc_mod.msd_apply_folded(self.msd, params, x)
+        module = self.mpd if disc_key == 'mpd' else self.msd
+        return module.apply(params, x)
+
     def _disc_apply_both(self, disc_key, disc_params, real, fake):
         """One discriminator pass over concat([real, fake]) instead of two.
 
@@ -129,10 +144,9 @@ class HiFiGANTrainer(Trainer):
         the conv dispatches per phase, and 2x batch rows for the narrow
         layers the MXU would otherwise under-fill. Returns (real_outs,
         fake_outs) in the per-sub-discriminator (score, features) format."""
-        module = self.mpd if disc_key == 'mpd' else self.msd
         n = real.shape[0]
-        both = module.apply(disc_params[disc_key],
-                            jnp.concatenate([real, fake], axis=0))
+        both = self._apply_disc(disc_key, disc_params[disc_key],
+                                jnp.concatenate([real, fake], axis=0))
         real_outs = [(s[:n], [f[:n] for f in feats]) for s, feats in both]
         fake_outs = [(s[n:], [f[n:] for f in feats]) for s, feats in both]
         return real_outs, fake_outs
@@ -159,10 +173,10 @@ class HiFiGANTrainer(Trainer):
         # discriminator backward. (The DISC phase keeps the batched concat:
         # there both halves need gradients.)
         real_ng = jax.lax.stop_gradient(real)
-        mpd_real = self.mpd.apply(disc_params['mpd'], real_ng)
-        msd_real = self.msd.apply(disc_params['msd'], real_ng)
-        mpd_fake = self.mpd.apply(disc_params['mpd'], fake)
-        msd_fake = self.msd.apply(disc_params['msd'], fake)
+        mpd_real = self._apply_disc('mpd', disc_params['mpd'], real_ng)
+        msd_real = self._apply_disc('msd', disc_params['msd'], real_ng)
+        mpd_fake = self._apply_disc('mpd', disc_params['mpd'], fake)
+        msd_fake = self._apply_disc('msd', disc_params['msd'], fake)
 
         adv = (gan_ops.generator_adversarial_loss(mpd_fake)
                + gan_ops.generator_adversarial_loss(msd_fake))
@@ -331,7 +345,8 @@ def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
          num_workers: int = 2, fix_len: int = 8192, max_step: int = 500000,
          valid_max_step: int = 20, save_interval: int = 5000,
          log_interval: int = 100, lr: float = 2e-4, arch: str = 'hifi_gan_v2',
-         msd_pallas: int = -1, mpd_pallas: bool = False):
+         msd_pallas: int = -1, mpd_pallas: bool = False,
+         msd_folded: bool = True, disc_bf16: bool = True):
     """Train a HiFi-GAN on any wave-first dataset (vctk, ljspeech, libri_tts).
 
     ``msd_pallas``: -1 (default) = the measured-fastest per-layer backend
@@ -339,6 +354,11 @@ def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
     to the on-device-A/B'd XLA table); >= 0 forces the first N MSD layers
     onto the Pallas grouped-conv kernel (probe sessions).
     ``mpd_pallas``: run the MPD's period-folded dense stack on the kernel.
+    ``msd_folded``: apply the MSD as one block-diagonal grouped stack
+    (exact same math/params; measured faster on v5e — see docs/KERNELS.md).
+    ``disc_bf16``: run both critics with bf16 activations/weights (f32
+    master params + f32 MXU accumulate; standard mixed-precision GAN
+    practice — quality guard in benchmarks/probes/exp_bf16_quality.py).
     """
     from pytorch_sound_tpu.utils.commons import enable_compilation_cache
     enable_compilation_cache()   # warm restarts skip the long first compile
@@ -352,15 +372,18 @@ def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
     # to XLA's layout). Parameter shapes are format-independent.
     import pytorch_sound_tpu.models.vocoders.discriminators as disc_mod
     generator = build_model(arch, extra_kwargs=dict(data_format='NTC'))
+    cdt = 'bf16' if disc_bf16 else None
     if mpd_pallas:
-        mpd = disc_mod.MultiPeriodDiscriminator(backends=('pallas',) * 6)
+        mpd = disc_mod.MultiPeriodDiscriminator(backends=('pallas',) * 6,
+                                                compute_dtype=cdt)
     else:
-        mpd = build_model('hifi_gan_mpd_base')
+        mpd = disc_mod.MultiPeriodDiscriminator(compute_dtype=cdt)
     if msd_pallas < 0:
-        msd = disc_mod.MultiScaleDiscriminator(n_scales=3, width=1.0)
+        msd = disc_mod.MultiScaleDiscriminator(n_scales=3, width=1.0,
+                                               compute_dtype=cdt)
     else:
         msd = disc_mod.MultiScaleDiscriminator(
-            n_scales=3, width=1.0,
+            n_scales=3, width=1.0, compute_dtype=cdt,
             backends=('pallas',) * msd_pallas + ('xla',) * (8 - msd_pallas))
     gen_opt = optax.adamw(lr, b1=0.8, b2=0.99)
     disc_opt = optax.adamw(lr, b1=0.8, b2=0.99)
@@ -370,7 +393,8 @@ def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
         train_loader, valid_loader,
         max_step=max_step, valid_max_step=valid_max_step,
         save_interval=save_interval, log_interval=log_interval,
-        save_dir=save_dir, save_prefix='hifi_gan', grad_norm=0.0)
+        save_dir=save_dir, save_prefix='hifi_gan', grad_norm=0.0,
+        msd_folded=msd_folded)
     return trainer.run()
 
 

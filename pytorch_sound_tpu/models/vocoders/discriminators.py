@@ -22,6 +22,7 @@ from typing import List, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pytorch_sound_tpu.models import register_model, register_model_architecture
 from pytorch_sound_tpu.models.vocoders.hifi_gan import WNConv1d, _normal_init
@@ -37,6 +38,7 @@ class WNConv2d(nn.Module):
     padding: Tuple[int, int] = (0, 0)
     use_weight_norm: bool = True
     precision: str = 'default'
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -52,6 +54,9 @@ class WNConv2d(nn.Module):
         else:
             weight = self.param('weight', _normal_init(), shape)
         bias = self.param('bias', nn.initializers.zeros, (self.out_channels,))
+        if self.compute_dtype == 'bf16':
+            x = x.astype(jnp.bfloat16)
+            weight = weight.astype(jnp.bfloat16)
         prec = (jax.lax.Precision.HIGHEST if self.precision == 'highest'
                 else jax.lax.Precision.DEFAULT)
         out = jax.lax.conv_general_dilated(
@@ -60,8 +65,10 @@ class WNConv2d(nn.Module):
                      (self.padding[1], self.padding[1])],
             dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
             precision=prec,
-            preferred_element_type=jnp.float32)
-        return out + bias[None, :, None, None]
+            preferred_element_type=(x.dtype if x.dtype == jnp.bfloat16
+                                    else jnp.float32))
+        out = out + bias[None, :, None, None]
+        return out.astype(jnp.bfloat16) if self.compute_dtype == 'bf16' else out
 
 
 class PeriodDiscriminator(nn.Module):
@@ -84,6 +91,7 @@ class PeriodDiscriminator(nn.Module):
     precision: str = 'default'
     # Per-layer conv backend (len(channels)+1 body layers + conv_post).
     backends: Sequence[str] = ('xla',) * 6
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -109,21 +117,41 @@ class PeriodDiscriminator(nn.Module):
             x = WNConv1d(in_ch, ch, self.kernel_size, stride=self.stride,
                          padding=kpad, precision=self.precision,
                          data_format='NTC', fused_slope=0.1,
-                         backend=self.backends[i], name='conv_%d' % i)(x)
+                         backend=self.backends[i],
+                         compute_dtype=self.compute_dtype,
+                         name='conv_%d' % i)(x)
             features.append(feat(x))
             in_ch = ch
         top = self.channels[-1]
         x = WNConv1d(in_ch, top, self.kernel_size, padding=kpad,
                      precision=self.precision, data_format='NTC',
                      fused_slope=0.1, backend=self.backends[len(self.channels)],
+                     compute_dtype=self.compute_dtype,
                      name='conv_%d' % len(self.channels))(x)
         features.append(feat(x))
         x = WNConv1d(top, 1, 3, padding=1, precision=self.precision,
                      data_format='NTC',
                      backend=self.backends[len(self.channels) + 1],
+                     compute_dtype=self.compute_dtype,
                      name='conv_post')(x)
         features.append(feat(x))
         return x.reshape(n, -1), features
+
+
+def scale_disc_layout(width: float) -> List[Tuple[int, int, int, int, int, int]]:
+    """Per-layer (in, out, kernel, stride, groups, padding) of the paper's
+    scale-discriminator body at a channel-width multiplier."""
+    def w(ch):
+        return max(8, int(ch * width))
+    return [
+        (1, w(128), 15, 1, 1, 7),
+        (w(128), w(128), 41, 2, 4, 20),
+        (w(128), w(256), 41, 2, 8, 20),
+        (w(256), w(512), 41, 4, 8, 20),
+        (w(512), w(1024), 41, 4, 8, 20),
+        (w(1024), w(1024), 41, 1, 8, 20),
+        (w(1024), w(1024), 5, 1, 1, 2),
+    ]
 
 
 class ScaleDiscriminator(nn.Module):
@@ -142,13 +170,14 @@ class ScaleDiscriminator(nn.Module):
     precision: str = 'default'
     # Per-layer conv backend (7 body layers + conv_post). 'auto' resolves
     # each grouped layer to the measured winner on v5e (dense-expanded XLA
-    # conv when cin/groups <= 32, native grouped XLA otherwise — on-device
+    # conv when cin/groups < 32, native grouped XLA otherwise — on-device
     # A/B in benchmarks/probes/results/, 2026-08-19); 'xla' pins XLA's NTC
     # conv; 'pallas' opts into the Pallas kernel. The dense k=5 top layer
     # and conv_post stay pinned to XLA (the kernel measured slower on every
     # probed dense critic geometry — see docs/KERNELS.md).
     backends: Sequence[str] = ('auto', 'auto', 'auto', 'auto',
                                'auto', 'auto', 'xla', 'xla')
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -156,27 +185,17 @@ class ScaleDiscriminator(nn.Module):
         x = x.swapaxes(1, 2)   # (N, C, T) -> (N, T, C), once
         features = []
 
-        def w(ch):
-            return max(8, int(ch * self.width))
-
-        # (in, out, kernel, stride, groups, padding)
-        layout = [
-            (1, w(128), 15, 1, 1, 7),
-            (w(128), w(128), 41, 2, 4, 20),
-            (w(128), w(256), 41, 2, 8, 20),
-            (w(256), w(512), 41, 4, 8, 20),
-            (w(512), w(1024), 41, 4, 8, 20),
-            (w(1024), w(1024), 41, 1, 8, 20),
-            (w(1024), w(1024), 5, 1, 1, 2),
-        ]
-        for i, (ic, oc, k, s, g, p) in enumerate(layout):
+        for i, (ic, oc, k, s, g, p) in enumerate(scale_disc_layout(self.width)):
             x = WNConv1d(ic, oc, k, stride=s, padding=p, groups=g,
                          precision=self.precision, data_format='NTC',
                          fused_slope=0.1, backend=self.backends[i],
+                         compute_dtype=self.compute_dtype,
                          name='conv_%d' % i)(x)
             features.append(x)
-        x = WNConv1d(w(1024), 1, 3, padding=1, precision=self.precision,
+        top = scale_disc_layout(self.width)[-1][1]
+        x = WNConv1d(top, 1, 3, padding=1, precision=self.precision,
                      data_format='NTC', backend=self.backends[7],
+                     compute_dtype=self.compute_dtype,
                      name='conv_post')(x)
         features.append(x)
         return x.reshape(n, -1), features
@@ -191,6 +210,7 @@ class MultiPeriodDiscriminator(nn.Module):
     precision: str = 'default'
     # Per-layer conv backend, forwarded to every PeriodDiscriminator.
     backends: Sequence[str] = PeriodDiscriminator.backends
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -199,6 +219,7 @@ class MultiPeriodDiscriminator(nn.Module):
             outs.append(PeriodDiscriminator(
                 p, channels=tuple(self.channels), precision=self.precision,
                 backends=tuple(self.backends),
+                compute_dtype=self.compute_dtype,
                 name='period_%d' % p)(x))
         return outs   # list of (score, features)
 
@@ -211,6 +232,7 @@ class MultiScaleDiscriminator(nn.Module):
     width: float = 1.0
     precision: str = 'default'
     backends: Sequence[str] = ScaleDiscriminator.backends
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -224,8 +246,102 @@ class MultiScaleDiscriminator(nn.Module):
             outs.append(ScaleDiscriminator(width=self.width,
                                            precision=self.precision,
                                            backends=tuple(self.backends),
+                                           compute_dtype=self.compute_dtype,
                                            name='scale_%d' % i)(x))
         return outs
+
+
+def _msd_valid_lengths(t: int, n_scales: int) -> List[int]:
+    """Valid sample count of each MSD scale (avg_pool k=4 s=2 pad (2,2))."""
+    lens = [t]
+    for _ in range(n_scales - 1):
+        lens.append((lens[-1] + 4 - 4) // 2 + 1)
+    return lens
+
+
+def msd_apply_folded(msd: MultiScaleDiscriminator, variables, x: jnp.ndarray,
+                     backend: str = 'auto'):
+    """Run ``msd`` as ONE block-diagonal grouped stack over all scales.
+
+    Same math, same parameter tree, same (score, features) output structure
+    as ``msd.apply`` — but the three per-scale stacks (24 convs) execute as
+    8 convs: the scales are zero-padded to the longest scale's length and
+    stacked along the CHANNEL axis, and each layer becomes a single grouped
+    conv whose block-diagonal weight is the concat of the per-scale
+    weight-normed weights (groups' = n_scales * groups, so group u of scale
+    s reads exactly scale s's channels). Padded-tail positions are re-zeroed
+    after every layer (the bias would otherwise leak into them), which makes
+    every VALID output bit-equal to the unfolded formulation: a conv window
+    of a valid position only ever reads valid samples or zeros — the same
+    zeros XLA's conv padding supplies in the unfolded run.
+
+    Motivation (round-4 probes): the MSD stack measured 22.8 ms fwd+dx+dw
+    against a ~2-6 ms roofline plan — per-op overhead, not FLOPs, dominates,
+    so fewer/wider ops win even though the pooled scales pay padded time
+    (3T vs 1.75T positions).
+    """
+    n, _c, t = x.shape
+    n_scales = msd.n_scales
+    layout = scale_disc_layout(msd.width)
+    params = variables['params'] if 'params' in variables else variables
+    dt = jnp.bfloat16 if msd.compute_dtype == 'bf16' else jnp.float32
+
+    # pooled scales, zero-padded to the top scale's length, channel-stacked
+    lens = _msd_valid_lengths(t, n_scales)
+    xs, cur = [], x.swapaxes(1, 2)                      # (N, T, 1)
+    for i in range(n_scales):
+        if i > 0:
+            cur = nn.avg_pool(cur, (4,), strides=(2,), padding=((2, 2),))
+        xs.append(jnp.pad(cur, [(0, 0), (0, t - cur.shape[1]), (0, 0)]))
+    h = jnp.concatenate(xs, axis=-1).astype(dt)         # (N, T, n_scales)
+
+    def folded_wb(layer_name):
+        ws, bs = [], []
+        for s in range(n_scales):
+            p = params['scale_%d' % s][layer_name]
+            v, g, b = p['v'], p['g'], p['bias']
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2), keepdims=True) + 1e-12)
+            ws.append(g * v / norm)
+            bs.append(b)
+        return (jnp.concatenate(ws, axis=0).astype(dt),
+                jnp.concatenate(bs, axis=0))
+
+    from pytorch_sound_tpu.ops.pallas.grouped_conv import grouped_conv1d_ntc
+    features = [[] for _ in range(n_scales)]
+    buf_len = t
+    for i, (_ic, oc, k, s, g, p) in enumerate(layout):
+        w, b = folded_wb('conv_%d' % i)
+        h = grouped_conv1d_ntc(h, w, b, stride=s, padding=p,
+                               groups=n_scales * g, slope=0.1,
+                               backend=backend,
+                               precision=('highest' if msd.precision ==
+                                          'highest' else 'default'))
+        if msd.compute_dtype == 'bf16':
+            h = h.astype(jnp.bfloat16)
+        buf_len = (buf_len + 2 * p - k) // s + 1
+        lens = [(l + 2 * p - k) // s + 1 for l in lens]
+        # re-zero the padded tails: (N, T', S*oc) -> (N, T', S, oc) * mask
+        mask = np.zeros((buf_len, n_scales, 1), np.float32)
+        for si, li in enumerate(lens):
+            mask[:li, si] = 1.0
+        h4 = h.reshape(h.shape[0], buf_len, n_scales, oc) * jnp.asarray(
+            mask, dtype=h.dtype)
+        for si, li in enumerate(lens):
+            features[si].append(h4[:, :li, si, :])
+        h = h4.reshape(h.shape[0], buf_len, n_scales * oc)
+    w, b = folded_wb('conv_post')
+    h = grouped_conv1d_ntc(h, w, b, stride=1, padding=1, groups=n_scales,
+                           backend=backend,
+                           precision=('highest' if msd.precision == 'highest'
+                                      else 'default'))
+    # conv_post (k=3, s=1, p=1) preserves length: buf_len and lens unchanged
+    h4 = h.reshape(h.shape[0], buf_len, n_scales, 1)
+    outs = []
+    for si, li in enumerate(lens):
+        score = h4[:, :li, si, 0].reshape(n, -1)
+        features[si].append(h4[:, :li, si, :])
+        outs.append((score, features[si]))
+    return outs
 
 
 @register_model_architecture('hifi_gan_mpd', 'hifi_gan_mpd_base')

@@ -46,6 +46,14 @@ class WNConv1d(nn.Module):
     grouped-conv kernel on TPU, XLA conv elsewhere) with an optionally fused
     leaky_relu (``fused_slope``); parameter names/shapes are identical to the
     NCT path so checkpoints interoperate. Dilation is NCT-only.
+
+    ``compute_dtype='bf16'`` casts input and (post-weight-norm) weight to
+    bfloat16 and returns a bfloat16 output — half the HBM traffic on
+    bandwidth-bound layers. Master params stay f32 (the casts are on the AD
+    tape, so grads/optimizer run in f32) and the conv still accumulates in
+    f32 via ``preferred_element_type``. Meant for discriminator critics
+    (mixed-precision GAN practice); generator layers with numeric parity
+    targets should leave it None.
     """
 
     in_channels: int
@@ -60,6 +68,7 @@ class WNConv1d(nn.Module):
     data_format: str = 'NCT'
     fused_slope: float = None
     backend: str = 'auto'
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -74,20 +83,28 @@ class WNConv1d(nn.Module):
         else:
             weight = self.param('weight', _normal_init(), shape)
         bias = self.param('bias', nn.initializers.zeros, (self.out_channels,))
+        if self.compute_dtype == 'bf16':
+            x = x.astype(jnp.bfloat16)
+            weight = weight.astype(jnp.bfloat16)
         if self.data_format == 'NTC':
             from pytorch_sound_tpu.ops.pallas.grouped_conv import \
                 grouped_conv1d_ntc
-            return grouped_conv1d_ntc(
+            out = grouped_conv1d_ntc(
                 x, weight, bias, stride=self.stride, padding=self.padding,
                 groups=self.groups, dilation=self.dilation,
                 slope=self.fused_slope, backend=self.backend,
                 precision=('highest' if self.precision == 'highest'
                            else 'default'))
-        out = conv1d(x, weight, bias, stride=self.stride,
-                     padding=self.padding, dilation=self.dilation,
-                     groups=self.groups, precision=self.precision)
-        if self.fused_slope is not None:
-            out = jnp.where(out > 0, out, self.fused_slope * out)
+        else:
+            out = conv1d(x, weight, bias, stride=self.stride,
+                         padding=self.padding, dilation=self.dilation,
+                         groups=self.groups, precision=self.precision)
+            if self.fused_slope is not None:
+                out = jnp.where(out > 0, out, self.fused_slope * out)
+        if self.compute_dtype == 'bf16':
+            # XLA fuses the downcast into the conv epilogue: inter-layer
+            # activations land in HBM as bf16
+            out = out.astype(jnp.bfloat16)
         return out
 
 

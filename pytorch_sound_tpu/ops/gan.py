@@ -13,11 +13,17 @@ import jax.numpy as jnp
 DiscOut = List[Tuple[jnp.ndarray, List[jnp.ndarray]]]
 
 
+def _f32(x: jnp.ndarray) -> jnp.ndarray:
+    # critics may run in bf16 (mixed precision); reduce losses in f32
+    return x.astype(jnp.float32)
+
+
 def discriminator_loss(real_outs: DiscOut, fake_outs: DiscOut) -> jnp.ndarray:
     """LSGAN: sum over sub-discriminators of E[(1-D(y))^2] + E[D(y_hat)^2]."""
     loss = 0.0
     for (real_score, _), (fake_score, _) in zip(real_outs, fake_outs):
-        loss = loss + jnp.mean((1.0 - real_score) ** 2) + jnp.mean(fake_score ** 2)
+        loss = (loss + jnp.mean((1.0 - _f32(real_score)) ** 2)
+                + jnp.mean(_f32(fake_score) ** 2))
     return loss
 
 
@@ -25,7 +31,7 @@ def generator_adversarial_loss(fake_outs: DiscOut) -> jnp.ndarray:
     """LSGAN generator term: sum of E[(1-D(y_hat))^2]."""
     loss = 0.0
     for fake_score, _ in fake_outs:
-        loss = loss + jnp.mean((1.0 - fake_score) ** 2)
+        loss = loss + jnp.mean((1.0 - _f32(fake_score)) ** 2)
     return loss
 
 
@@ -34,5 +40,5 @@ def feature_matching_loss(real_outs: DiscOut, fake_outs: DiscOut) -> jnp.ndarray
     loss = 0.0
     for (_, real_feats), (_, fake_feats) in zip(real_outs, fake_outs):
         for rf, ff in zip(real_feats, fake_feats):
-            loss = loss + jnp.mean(jnp.abs(rf - ff))
+            loss = loss + jnp.mean(jnp.abs(_f32(rf) - _f32(ff)))
     return loss

@@ -1095,7 +1095,11 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
         feature_group_count=groups,
         precision=(jax.lax.Precision.HIGHEST if precision == 'highest'
                    else jax.lax.Precision.DEFAULT),
-        preferred_element_type=jnp.float32)
+        # bf16 in -> bf16 out (the MXU accumulator is f32 either way; an
+        # f32 output would make the grad-transpose cotangent f32 against
+        # bf16 operands, which lax.conv rejects)
+        preferred_element_type=(x.dtype if x.dtype == jnp.bfloat16
+                                else jnp.float32))
     if b is not None:
         out = out + b[None, None, :]
     if slope is not None:

@@ -285,3 +285,114 @@ def test_scale_discriminator_pallas_stack_matches_xla():
     assert len(feats_k) == len(feats_x)
     for a, b in zip(feats_k, feats_x):
         assert a.shape == b.shape
+
+
+def test_msd_folded_matches_unfolded():
+    """msd_apply_folded (one block-diagonal grouped stack over all scales)
+    must reproduce msd.apply exactly: every score and every feature map,
+    at full width and at the small width, for 2 and 3 scales."""
+    import pytorch_sound_tpu.models.vocoders.discriminators as disc
+
+    rng = np.random.default_rng(7)
+    wav = jnp.asarray(rng.standard_normal((2, 1, 2048)), dtype=jnp.float32)
+    for n_scales, width in ((3, 0.0625), (2, 0.125)):
+        msd = disc.MultiScaleDiscriminator(n_scales=n_scales, width=width)
+        params = msd.init(jax.random.PRNGKey(3), wav)
+        ref = msd.apply(params, wav)
+        got = disc.msd_apply_folded(msd, params, wav)
+        assert len(got) == len(ref)
+        for (gs, gf), (rs, rf) in zip(got, ref):
+            assert gs.shape == rs.shape
+            np.testing.assert_allclose(np.asarray(gs), np.asarray(rs),
+                                       rtol=2e-5, atol=2e-5)
+            assert len(gf) == len(rf)
+            for a, b in zip(gf, rf):
+                assert a.shape == b.shape
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-5, atol=2e-5)
+
+
+def test_msd_folded_gradients_match():
+    """d(loss)/d(params) of the folded formulation equals the unfolded one
+    (the zero-masked padded tails must contribute nothing to dw/db)."""
+    import pytorch_sound_tpu.models.vocoders.discriminators as disc
+
+    rng = np.random.default_rng(8)
+    wav = jnp.asarray(rng.standard_normal((2, 1, 1024)), dtype=jnp.float32)
+    msd = disc.MultiScaleDiscriminator(n_scales=3, width=0.0625)
+    params = msd.init(jax.random.PRNGKey(4), wav)
+
+    def loss(p, apply_fn):
+        outs = apply_fn(p)
+        total = 0.0
+        for score, feats in outs:
+            total = total + jnp.mean(score ** 2)
+            for f in feats:
+                total = total + jnp.mean(jnp.abs(f))
+        return total
+
+    g_ref = jax.grad(lambda p: loss(p, lambda pp: msd.apply(pp, wav)))(params)
+    g_fold = jax.grad(lambda p: loss(
+        p, lambda pp: disc.msd_apply_folded(msd, pp, wav)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fold),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_discriminators_bf16_compute_dtype():
+    """compute_dtype='bf16' critics run (bf16 activations, f32 master params)
+    and track the f32 outputs to bf16 resolution."""
+    import pytorch_sound_tpu.models.vocoders.discriminators as disc
+
+    rng = np.random.default_rng(9)
+    wav = jnp.asarray(rng.standard_normal((2, 1, 2048)), dtype=jnp.float32)
+    for make in (lambda dt: disc.MultiScaleDiscriminator(
+                     n_scales=2, width=0.0625, compute_dtype=dt),
+                 lambda dt: disc.MultiPeriodDiscriminator(
+                     periods=(2, 3), channels=(8, 16), compute_dtype=dt)):
+        f32 = make(None)
+        b16 = make('bf16')
+        params = f32.init(jax.random.PRNGKey(5), wav)
+        out_f = f32.apply(params, wav)
+        out_b = b16.apply(params, wav)
+        for (sf, ff), (sb, fb) in zip(out_f, out_b):
+            assert sb.dtype == jnp.bfloat16
+            scale = max(1.0, float(jnp.abs(sf).max()))
+            assert float(jnp.abs(sf - sb.astype(jnp.float32)).max()) < 0.1 * scale
+        # grads exist and are f32 (master-weight mixed precision)
+        g = jax.grad(lambda p: sum(
+            jnp.mean(s.astype(jnp.float32) ** 2) for s, _ in b16.apply(p, wav)))(params)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert leaf.dtype == jnp.float32
+
+
+def test_hifigan_msd_folded_step_matches_unfolded(tmp_path):
+    """The trainer's msd_folded=True step produces the same first-step update
+    (params + loss) as the default per-scale MSD apply."""
+    rng = np.random.default_rng(17)
+    batch = [rng.standard_normal((2, 2048)).astype(np.float32) * 0.2]
+
+    def make(folded):
+        gen = build_model('hifi_gan_v3',
+                          extra_kwargs={'upsample_initial_channel': 32})
+        return HiFiGANTrainer(
+            gen, build_model('hifi_gan_mpd_small'),
+            build_model('hifi_gan_msd_small'),
+            optax.adamw(2e-4), optax.adamw(2e-4), None, None,
+            max_step=1, valid_max_step=1, save_interval=10 ** 9,
+            log_interval=10 ** 9, save_dir=str(tmp_path),
+            save_prefix='f%d' % folded, seed=13, msd_folded=bool(folded))
+
+    outs = []
+    for folded in (0, 1):
+        t = make(folded)
+        t._ensure_initialized([jnp.asarray(batch[0])])
+        p, o, loss, _ = t._get_train_step()(
+            t.params, t.opt_state, [jnp.asarray(batch[0])], is_logging=False)
+        outs.append((p, float(loss)))
+    (p0, l0), (p1, l1) = outs
+    assert abs(l0 - l1) < 1e-4
+    err = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p0, p1)))
+    assert err < 1e-5
