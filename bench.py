@@ -130,7 +130,38 @@ def _timeit_chained_slope(step_fn, state0, n1: int = 4, n2: int = 12,
     return min(t2s) / n2
 
 
-def _timeit_device_loop(step_fn, state0, iters: int = 20) -> float:
+# TPU v5e (lite0) peak: 197 TFLOP/s bf16 (394 TOPS int8). MFU figures below
+# are measured-FLOPs / time / this peak — i.e. utilization against the bf16
+# roofline. f32-HIGHEST programs execute 3-6 MXU passes per logical FLOP, so
+# their bf16-peak MFU is intrinsically bounded near 1/3-1/6; the number is
+# still the honest "how far from the chip's ceiling" denominator VERDICT
+# round-4 asked for (cost_analysis counts logical FLOPs, not passes).
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _flops_of(jitted_fn, *args, **kwargs):
+    """cost_analysis()['flops'] of an already-jitted callable. The lower() +
+    compile() is served from the in-process executable cache when the same
+    shapes were already run, so this does not trigger a fresh compile."""
+    try:
+        c = jitted_fn.lower(*args, **kwargs).compile()
+        return float(c.cost_analysis().get('flops') or 0.0) or None
+    except Exception:
+        return None
+
+
+def _mfu_entry(flops_per_run, dt_s):
+    """{flops_per_run, tflops_per_sec, mfu_vs_bf16_peak} or None."""
+    if not flops_per_run or not dt_s:
+        return None
+    tf = flops_per_run / dt_s / 1e12
+    return {'flops_per_run': flops_per_run,
+            'tflops_per_sec': round(tf, 2),
+            'mfu_vs_bf16_peak': round(tf * 1e12 / V5E_BF16_PEAK_FLOPS, 4)}
+
+
+def _timeit_device_loop(step_fn, state0, iters: int = 20,
+                        aux: dict = None) -> float:
     """Per-step time of a content-dependent chain run ON DEVICE via
     lax.fori_loop, one dispatch total, terminated by a real host fetch.
 
@@ -166,6 +197,10 @@ def _timeit_device_loop(step_fn, state0, iters: int = 20) -> float:
 
     float(np.asarray(r1(fresh(0))))                     # compile + warm
     float(np.asarray(r2(fresh(1))))
+    if aux is not None:
+        flops = _flops_of(r1, fresh(0))
+        if flops:
+            aux['flops_per_step'] = flops / iters
     best = None
     for k in range(2):
         c1, c2 = fresh(2 + 2 * k), fresh(3 + 2 * k)
@@ -181,7 +216,8 @@ def _timeit_device_loop(step_fn, state0, iters: int = 20) -> float:
     return best
 
 
-def bench_vocoder(batch: int = 32, frames: int = 256, precision: str = 'highest'):
+def bench_vocoder(batch: int = 32, frames: int = 256,
+                  precision: str = 'highest', aux: dict = None):
     """Steady-state mel->wav throughput with the pretrained v2 generator
     (fully-fused Pallas stage path at the given contraction precision)."""
     import jax.numpy as jnp
@@ -198,12 +234,20 @@ def bench_vocoder(batch: int = 32, frames: int = 256, precision: str = 'highest'
         return mel, acc + wav.mean()
 
     dt = _timeit_device_loop(step, mel0, iters=20)
+    if aux is not None:
+        # logical FLOPs from the all-XLA forward (cost_analysis cannot see
+        # inside the fused Pallas stages — custom calls count zero)
+        import jax as _jax
+        flops = _flops_of(_jax.jit(
+            lambda m: iface.decoder.apply(iface.params, m)), mel0)
+        aux['mfu'] = _mfu_entry(flops, dt)
     samples = batch * frames * 256
     return samples / dt
 
 
 def bench_vocoder_v1(batch: int = 16, frames: int = 256,
-                     precision: str = 'highest', fused: bool = True):
+                     precision: str = 'highest', fused: bool = True,
+                     aux: dict = None):
     """Mel->wav throughput of HiFi-GAN **v1** (the reference's MOS-4.3
     flagship, 14M params, stages 256/128/64/32 ch) on the fully-fused stage
     path — the 256-ch stage 0 rides the wide kernel. ``fused=False`` times
@@ -233,6 +277,9 @@ def bench_vocoder_v1(batch: int = 16, frames: int = 256,
         return mel, acc + wav.mean()
 
     dt = _timeit_device_loop(step, mel0, iters=10)
+    if aux is not None:
+        flops = _flops_of(jax.jit(lambda m: gen.apply(params, m)), mel0)
+        aux['mfu'] = _mfu_entry(flops, dt)
     return batch * frames * 256 / dt
 
 
@@ -335,7 +382,8 @@ def bench_preprocess(batch: int = 16, seconds: float = 4.0, fused: bool = True,
 
 def bench_preprocess_deviceloop(batch: int = 16, seconds: float = 4.0,
                                 fused: bool = True,
-                                precision: str = 'bf16x3'):
+                                precision: str = 'bf16x3',
+                                aux: dict = None):
     """Same computation as :func:`bench_preprocess`, timed with the on-device
     fori-loop (one dispatch total). The tunnel's per-dispatch overhead varies
     run-to-run by several ms and poisons chained *ratios*; this variant is
@@ -365,6 +413,12 @@ def bench_preprocess_deviceloop(batch: int = 16, seconds: float = 4.0,
         return jnp.roll(w, 1, axis=-1) * (1.0 + 1e-3 * jnp.tanh(m)), m
 
     dt = _timeit_device_loop(step, wav, iters=20)
+    if aux is not None:
+        # logical FLOPs from the XLA composite (identical math; the fused
+        # Pallas kernel is invisible to cost_analysis)
+        flops = _flops_of(jax.jit(
+            lambda w: mel_ops.log_mel_spectrogram(w, *args)), wav)
+        aux['mfu'] = _mfu_entry(flops, dt)
     return batch / dt
 
 
@@ -492,16 +546,35 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
                          for w in wavs])
 
     def run_pipeline():
-        q = queue.Queue(maxsize=2)
+        # THREE pipeline stages on separate threads (round-5, VERDICT #2):
+        # decode(N+1) || H2D+dispatch(N) || D2H fetch(N-1). The round-4
+        # two-stage version issued upload and fetch from ONE thread, so a
+        # fetch blocked on the tunnel's D2H serialized with the next
+        # upload — the per-dispatch overhead its leg probe measured.
+        q_host = queue.Queue(maxsize=3)   # decoded numpy batches
+        q_dev = queue.Queue(maxsize=3)    # dispatched device results
 
         def producer():
             try:
                 for i in range(0, n_files, batch):
-                    q.put(decode(paths[i:i + batch]))
+                    q_host.put(decode(paths[i:i + batch]))
             finally:
-                q.put(None)    # always unblock the consumer
+                q_host.put(None)    # always unblock the uploader
+
+        def uploader():
+            try:
+                while True:
+                    item = q_host.get()
+                    if item is None:
+                        break
+                    # jax dispatch is thread-safe; device_put + the program
+                    # launch overlap the main thread's blocking fetches
+                    q_dev.put(mel_fn(jnp.asarray(item)))
+            finally:
+                q_dev.put(None)
 
         threading.Thread(target=producer, daemon=True).start()
+        threading.Thread(target=uploader, daemon=True).start()
 
         def fetch(dev):
             # full D2H materialization + the host-side dequant/re-expansion
@@ -515,16 +588,11 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
             else:
                 float(np.asarray(dev).astype(np.float32).ravel()[0])
 
-        pending = None
         while True:
-            item = q.get()
+            item = q_dev.get()
             if item is None:
                 break
-            dev = mel_fn(jnp.asarray(item))        # async dispatch
-            if pending is not None:
-                fetch(pending)                     # fetch batch N-1
-            pending = dev
-        fetch(pending)
+            fetch(item)
 
     dt = _timeit(run_pipeline, warmup=1, iters=3)
     return n_files / dt
@@ -602,7 +670,8 @@ def bench_preprocess_wire_accuracy(n: int = 16, seconds: float = 4.0,
     return out
 
 
-def bench_trainer(batch: int = 8, fix_len: int = 16384, iters: int = 10):
+def bench_trainer(batch: int = 8, fix_len: int = 16384, iters: int = 10,
+                  aux: dict = None):
     """VoiceBank enhancement trainer steps/sec (jitted step, steady state)."""
     import jax
     import optax
@@ -624,6 +693,8 @@ def bench_trainer(batch: int = 8, fix_len: int = 16384, iters: int = 10):
     device_batch = [jax.device_put(x) for x in batch_data]
     trainer._ensure_initialized(device_batch)
     step_fn = trainer._get_train_step()
+    flops = _flops_of(step_fn, trainer.params, trainer.opt_state,
+                      device_batch, is_logging=False)
 
     # params/opt threading makes the chain data-dependent; the loss output is
     # fetched by _timeit_chained to pin down real execution time
@@ -635,11 +706,20 @@ def bench_trainer(batch: int = 8, fix_len: int = 16384, iters: int = 10):
 
     dt = _timeit_chained_slope(step, (trainer.params, trainer.opt_state),
                                n1=iters, n2=3 * iters, warmup=3)
+    if aux is not None and flops:
+        aux['mfu'] = _mfu_entry(flops, dt)
     return 1.0 / dt
 
 
+# round-5 GAN-step winners (benchmarks/probes/results/gan_r5.log); '0' until
+# the on-device A/B lands, then flipped to the measured best
+GAN_BEST_FOLDED = '0'
+GAN_BEST_BF16 = '0'
+
+
 def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
-                           iters: int = 6, best_config: bool = True):
+                           iters: int = 6, best_config: bool = True,
+                           aux: dict = None):
     """BASELINE's 'Trainer steps/sec (VCTK)' config: the HiFi-GAN training
     recipe on VCTK-shaped segments (batch 16 x 8192 samples @ 22050 Hz, the
     examples/hifi_gan.py defaults) — full adversarial step (85M-param v2
@@ -672,20 +752,30 @@ def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
         # (PSTPU_BENCH_MSD_PALLAS = first-N MSD layers FORCED onto the
         #  Pallas kernel — default -1 = the ScaleDiscriminator default mask,
         #  whose 'auto' entries resolve to the measured XLA table;
-        #  PSTPU_BENCH_MPD_PALLAS = 1 -> MPD all-kernel)
+        #  PSTPU_BENCH_MPD_PALLAS = 1 -> MPD all-kernel;
+        #  PSTPU_BENCH_MSD_FOLDED = MSD as one block-diagonal stack;
+        #  PSTPU_BENCH_DISC_BF16 = bf16 critics; both default to the
+        #  round-5 measured winners, see benchmarks/probes/results/gan_r5.log)
         n_msd = int(os.environ.get('PSTPU_BENCH_MSD_PALLAS', '-1'))
+        cdt = ('bf16' if int(os.environ.get('PSTPU_BENCH_DISC_BF16',
+                                            GAN_BEST_BF16)) else None)
+        folded = bool(int(os.environ.get('PSTPU_BENCH_MSD_FOLDED',
+                                         GAN_BEST_FOLDED)))
         gen = build_model('hifi_gan_v2', extra_kwargs=dict(data_format='NTC'))
         if n_msd < 0:
-            msd = disc_mod.MultiScaleDiscriminator(n_scales=3, width=1.0)
+            msd = disc_mod.MultiScaleDiscriminator(n_scales=3, width=1.0,
+                                                   compute_dtype=cdt)
         else:
             msd = disc_mod.MultiScaleDiscriminator(
-                n_scales=3, width=1.0,
+                n_scales=3, width=1.0, compute_dtype=cdt,
                 backends=('pallas',) * n_msd + ('xla',) * (8 - n_msd))
         if int(os.environ.get('PSTPU_BENCH_MPD_PALLAS', '0')):
-            mpd = disc_mod.MultiPeriodDiscriminator(backends=('pallas',) * 6)
+            mpd = disc_mod.MultiPeriodDiscriminator(backends=('pallas',) * 6,
+                                                    compute_dtype=cdt)
         else:
-            mpd = build_model('hifi_gan_mpd_base')
+            mpd = disc_mod.MultiPeriodDiscriminator(compute_dtype=cdt)
     else:
+        folded = False
         gen = build_model('hifi_gan_v2')
         msd = build_model('hifi_gan_msd_base')
         mpd = build_model('hifi_gan_mpd_base')
@@ -695,13 +785,16 @@ def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
         optax.adamw(2e-4, b1=0.8, b2=0.99), optax.adamw(2e-4, b1=0.8, b2=0.99),
         None, None, max_step=1, valid_max_step=1, save_interval=10 ** 9,
         log_interval=10 ** 9, save_dir=tempfile.mkdtemp(prefix='bench_gan_'),
-        save_prefix='bench', seed=0, split_step=not best_config)
+        save_prefix='bench', seed=0, split_step=not best_config,
+        msd_folded=folded)
 
     rng = np.random.default_rng(4)
     wav = rng.standard_normal((batch, fix_len)).astype(np.float32) * 0.1
     device_batch = [jax.device_put(wav)]
     trainer._ensure_initialized(device_batch)
     step_fn = trainer._get_train_step()
+    flops = _flops_of(step_fn, trainer.params, trainer.opt_state,
+                      device_batch, is_logging=False)
 
     def step(state):
         params, opt = state
@@ -711,7 +804,118 @@ def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
 
     dt = _timeit_chained_slope(step, (trainer.params, trainer.opt_state),
                                n1=iters, n2=3 * iters, warmup=2)
+    if aux is not None and flops:
+        aux['mfu'] = _mfu_entry(flops, dt)
     return 1.0 / dt
+
+
+def _make_vb_corpus(n_utts: int = 48, sr: int = 22050):
+    """Synthetic on-disk VoiceBank-shaped corpus (wavs + meta), one-time."""
+    import tempfile
+    from pytorch_sound_tpu.data.meta.voice_bank import VoiceBankMeta
+    from pytorch_sound_tpu.utils import wavio
+
+    rng = np.random.default_rng(6)
+    root = tempfile.mkdtemp(prefix='bench_vbraw_')
+    meta = tempfile.mkdtemp(prefix='bench_vbmeta_')
+    for phase in ('trainset', 'validset'):
+        for kind in ('clean', 'noisy'):
+            os.makedirs(os.path.join(root, '%s_%s_wav' % (phase, kind)),
+                        exist_ok=True)
+    txt = os.path.join(root, 'txt')
+    os.makedirs(txt, exist_ok=True)
+    for phase, spk, count in (('trainset', 'p280', n_utts),
+                              ('validset', 'p281', 4)):
+        for u in range(count):
+            key = '%s_%03d' % (spk, u)
+            n = int(sr * rng.uniform(2.5, 3.5))
+            t = np.arange(n) / sr
+            clean = (0.3 * np.sin(
+                2 * np.pi * rng.uniform(100, 400) * t)).astype(np.float32)
+            noisy = clean + 0.1 * rng.standard_normal(n).astype(np.float32)
+            wavio.write_wav(os.path.join(
+                root, '%s_clean_wav' % phase, key + '.wav'), clean, sr)
+            wavio.write_wav(os.path.join(
+                root, '%s_noisy_wav' % phase, key + '.wav'), noisy, sr)
+            with open(os.path.join(txt, key + '.txt'), 'w') as w:
+                w.write('a synthetic benchmark utterance.')
+    VoiceBankMeta(meta).make_meta(root, 2, 15, 0)
+    return meta
+
+
+def bench_trainer_realdata(gan: bool = False, iters: int = 24,
+                           meta_dir: str = None):
+    """Trainer steps/sec with the REAL input pipeline in the loop
+    (VERDICT round-4 ask #5): on-disk wav corpus -> VoiceBank meta ->
+    SpeechDataLoader (workers, bucket sampler, pad-collate) ->
+    ``prefetch_to_device`` -> jitted step. Unlike the synthetic benches the
+    per-step numbers INCLUDE host decode + collate + H2D; parity with the
+    device-resident-batch number proves the prefetch pipeline keeps the
+    chip fed. ``gan=True`` runs the full adversarial VCTK-shaped recipe
+    (batch[0] is the noisy wave — wave-first, as the GAN trainer expects).
+    """
+    import jax
+    import optax
+    from pytorch_sound_tpu.data.meta.voice_bank import get_datasets
+
+    meta_dir = meta_dir or _make_vb_corpus()
+    if gan:
+        import tempfile
+        from pytorch_sound_tpu.examples.hifi_gan import HiFiGANTrainer
+        from pytorch_sound_tpu.models import build_model
+        import pytorch_sound_tpu.models.vocoders.discriminators as disc_mod
+        import pytorch_sound_tpu.models.vocoders.hifi_gan  # noqa: F401
+
+        train_loader, valid_loader = get_datasets(
+            meta_dir, batch_size=16, num_workers=2, fix_len=8192,
+            pad_multiple=8192)
+        cdt = ('bf16' if int(os.environ.get('PSTPU_BENCH_DISC_BF16',
+                                            GAN_BEST_BF16)) else None)
+        folded = bool(int(os.environ.get('PSTPU_BENCH_MSD_FOLDED',
+                                         GAN_BEST_FOLDED)))
+        trainer = HiFiGANTrainer(
+            build_model('hifi_gan_v2', extra_kwargs=dict(data_format='NTC')),
+            disc_mod.MultiPeriodDiscriminator(compute_dtype=cdt),
+            disc_mod.MultiScaleDiscriminator(n_scales=3, width=1.0,
+                                             compute_dtype=cdt),
+            optax.adamw(2e-4, b1=0.8, b2=0.99),
+            optax.adamw(2e-4, b1=0.8, b2=0.99),
+            train_loader, valid_loader, max_step=1, valid_max_step=1,
+            save_interval=10 ** 9, log_interval=10 ** 9,
+            save_dir=tempfile.mkdtemp(prefix='bench_ganrd_'),
+            save_prefix='bench', seed=0, msd_folded=folded)
+    else:
+        import tempfile
+        from pytorch_sound_tpu.examples.voice_bank import VoiceBankTrainer
+        from pytorch_sound_tpu.models import build_model
+        import pytorch_sound_tpu.models.enhancement  # noqa: F401
+
+        train_loader, valid_loader = get_datasets(
+            meta_dir, batch_size=8, num_workers=2, fix_len=16384,
+            pad_multiple=16384)
+        trainer = VoiceBankTrainer(
+            build_model('spec_masker_base'), optax.adam(2e-4),
+            train_loader, valid_loader, max_step=1, valid_max_step=1,
+            save_interval=10 ** 9, log_interval=10 ** 9,
+            save_dir=tempfile.mkdtemp(prefix='bench_rd_'),
+            save_prefix='bench', seed=0)
+
+    it = trainer.train_dataset          # prefetched device-resident batches
+    first = next(it)
+    trainer._ensure_initialized(first)
+    step_fn = trainer._get_train_step()
+    params, opt = trainer.params, trainer.opt_state
+    loss = None
+    for _ in range(3):                  # compile + steady-state warmup
+        params, opt, loss, _ = step_fn(params, opt, next(it),
+                                       is_logging=False)
+    float(np.asarray(loss))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt, loss, _ = step_fn(params, opt, next(it),
+                                       is_logging=False)
+    float(np.asarray(loss))             # real host fetch terminates the chain
+    return iters / (time.perf_counter() - t0)
 
 
 # (block_q, block_kv) per sequence length for the flash fwd+bwd benches;
@@ -795,6 +999,16 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
     res['dense_fwd_bwd_ms'] = _timeit_chained_slope(
         make_step(dense), q, n1=6, n2=18) * 1e3
 
+    def attn_flops(tt):
+        # standard accounting: fwd 4*N*H*T^2*D (QK^T + PV), bwd ~2.5x fwd
+        # including the flash recompute -> 14*N*H*T^2*D logical FLOPs
+        return 14.0 * n * h * tt * tt * d
+
+    res['mfu_flash_bf16x3'] = _mfu_entry(
+        attn_flops(t), res['flash_fwd_bwd_ms_bf16x3'] / 1e3)
+    res['mfu_dense_f32'] = _mfu_entry(
+        attn_flops(t), res['dense_fwd_bwd_ms'] / 1e3)
+
     # longer sequences: flash stays O(T*block) in memory; dense materializes
     # (n*h, T, T) score/probability tensors (34 GB at T=16384 — expected to
     # fail on a 16 GB chip; the failure is recorded as evidence)
@@ -807,8 +1021,13 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
         return step
 
     for tt in (2 * t, 4 * t, 8 * t):
-        qT, kT, vT = (jnp.asarray(rng.standard_normal((n, h, tt, d)),
-                                  dtype=jnp.float32) for _ in range(3))
+        # generate on DEVICE: a host (n, h, 16384, d) f32 upload is ~134 MB,
+        # which the tunnel's HTTP body limit rejects (round-4 T=16384 rows
+        # all died at 413) and which would dominate the section budget
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(tt), 3)
+        qT, kT, vT = (jax.random.normal(kx, (n, h, tt, d), jnp.float32)
+                      for kx in (kq, kk, kv))
+        jax.block_until_ready((qT, kT, vT))
         for bq, bkv in (FLASH_BLOCKS.get(tt, (128, 512)), (128, 512)):
             def flash_t(q, k, v, bq=bq, bkv=bkv):
                 return flash_attention_trainable(q, k, v, None, bq, bkv,
@@ -818,6 +1037,9 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
                     _timeit_chained_slope(
                         make_step_kv(flash_t, kT, vT), qT, n1=4, n2=12) * 1e3
                 res['flash_blocks_t%d' % tt] = [bq, bkv]
+                res['mfu_flash_bf16x3_t%d' % tt] = _mfu_entry(
+                    attn_flops(tt),
+                    res['flash_fwd_bwd_ms_bf16x3_t%d' % tt] / 1e3)
                 break
             except Exception as e:   # tuned blocks rejected -> proven pair
                 res['flash_t%d_block_error' % tt] = repr(e)[:160]
@@ -979,7 +1201,10 @@ def main():
         # and is recorded alongside, not as headline
         # flush after every metric: a cold-compile timeout mid-section must
         # not lose the metrics already measured
-        details['vocoder_samples_per_sec'] = bench_vocoder()
+        aux = {}
+        details['vocoder_samples_per_sec'] = bench_vocoder(aux=aux)
+        if aux.get('mfu'):
+            details['vocoder_mfu'] = aux['mfu']
         _flush()
         details['vocoder_samples_per_sec_bf16x3'] = bench_vocoder(
             precision='bf16x3')
@@ -987,80 +1212,13 @@ def main():
         details['vocoder_bf16x3_waveform_max_err'] = _vocoder_parity_err()
         _flush()
         details['streaming_decode_samples_per_sec'] = bench_streaming_decode()
-    _section('vocoder', 420, sec_vocoder)
+    _section('vocoder', 390, sec_vocoder)
     _print_headline()   # prints now when the headline value exists
 
-    def sec_preprocess():
-        # device-loop slope variants: one dispatch per run and the slope
-        # between two loop lengths cancels the tunnel's per-dispatch RTT
-        # (measured 0.8-27 ms between sessions) - the authoritative numbers
-        dl_fused = bench_preprocess_deviceloop(fused=True)
-        dl_f32 = bench_preprocess_deviceloop(fused=True, precision='highest')
-        dl_xla = bench_preprocess_deviceloop(fused=False)
-        details['preprocess_utterances_per_sec'] = dl_fused
-        details['preprocess_utterances_per_sec_f32'] = dl_f32
-        details['preprocess_utterances_per_sec_xla'] = dl_xla
-        details['preprocess_fused_vs_xla_ratio'] = dl_fused / dl_xla
-        details['preprocess_deviceloop'] = {
-            'fused_bf16x3': dl_fused, 'fused_f32': dl_f32, 'xla': dl_xla,
-            'fused_vs_xla_ratio': dl_fused / dl_xla,
-            'fused_f32_vs_xla_ratio': dl_f32 / dl_xla}
-        _flush()
-        # e2e wire ladder: the round-4 leg probe showed fresh-content H2D
-        # dominates through the tunnel, so the pipeline ships fewer bytes
-        # each rung; per-wire log-mel deltas recorded alongside.
-        details['preprocess_e2e_wire_logmel_delta'] = \
-            bench_preprocess_wire_accuracy()
-        _flush()
-        e2e = {}
-        e2e['i16_src_bf16'] = bench_preprocess_e2e()
-        _flush()
-        e2e['i16_src_int8'] = bench_preprocess_e2e(wire='int8')
-        _flush()
-        try:
-            e2e['mulaw8_tgt_int8'] = bench_preprocess_e2e(
-                wire='int8', h2d='mulaw8_tgt')
-            _flush()
-            e2e['i16_tgt_int8'] = bench_preprocess_e2e(
-                wire='int8', h2d='i16_tgt')
-        except Exception as e:
-            e2e['h2d_wire_error'] = repr(e)[:160]
-        details['preprocess_e2e_variants'] = e2e
-        best = max((v, k) for k, v in e2e.items() if isinstance(v, float))
-        details['preprocess_e2e_utterances_per_sec'] = best[0]
-        details['preprocess_e2e_config'] = best[1]
-        _flush()
-        details['preprocess_utterances_per_sec_chained'] = bench_preprocess(
-            fused=True)
-        details['preprocess_utterances_per_sec_chained_xla'] = \
-            bench_preprocess(fused=False)
-    _section('preprocess', 360, sec_preprocess)
-
-    def sec_trainer():
-        details['trainer_steps_per_sec_enhancement'] = bench_trainer()
-        details['trainer_steps_per_sec'] = \
-            details['trainer_steps_per_sec_enhancement']
-    _section('trainer', 240, sec_trainer)
-
-    def sec_flash():
-        details['flash_attention_compiled'] = bench_flash_attention()
-    _section('flash_attention', 420, sec_flash)
-
-    def sec_vocoder_v1():
-        details['vocoder_v1_fused_parity_max_abs_err'] = \
-            _vocoder_v1_parity_err()
-        _flush()
-        details['vocoder_v1_samples_per_sec'] = bench_vocoder_v1()
-        _flush()
-        details['vocoder_v1_samples_per_sec_bf16x3'] = bench_vocoder_v1(
-            precision='bf16x3')
-        _flush()
-        details['vocoder_v1_samples_per_sec_unfused_xla'] = bench_vocoder_v1(
-            fused=False)
-    _section('vocoder_v1', 420, sec_vocoder_v1)
-
-    # GAN last: the big compile. With the persistent cache warm it runs in
-    # ~2 min; cold it cannot fit a driver budget and gets cleanly skipped.
+    # -- GAN second, GUARANTEED budget (round-4 VERDICT #1: running it on
+    # leftovers dropped the newest trainer metric two rounds in a row; the
+    # persistent cache holds the step executable, so warm runs are ~2 min,
+    # and init is now one jitted dispatch per model) --------------------
     def sec_gan():
         # the exact configuration behind the recorded number, so every
         # steps/s claim in docs/NOTES maps to a reproducible config
@@ -1072,9 +1230,119 @@ def main():
             'msd_backends': (list(_dm.ScaleDiscriminator.backends)
                              if n_msd < 0 else
                              ['pallas'] * n_msd + ['xla'] * (8 - n_msd)),
+            'msd_folded': bool(int(os.environ.get('PSTPU_BENCH_MSD_FOLDED',
+                                                  GAN_BEST_FOLDED))),
+            'disc_bf16': bool(int(os.environ.get('PSTPU_BENCH_DISC_BF16',
+                                                 GAN_BEST_BF16))),
             'mpd_pallas': int(os.environ.get('PSTPU_BENCH_MPD_PALLAS', '0'))}
-        details['trainer_steps_per_sec_vctk_gan'] = bench_trainer_vctk_gan()
-    _section('trainer_vctk_gan', max(120.0, _remaining() - 30), sec_gan)
+        aux = {}
+        details['trainer_steps_per_sec_vctk_gan'] = bench_trainer_vctk_gan(
+            aux=aux)
+        if aux.get('mfu'):
+            details['trainer_vctk_gan_mfu'] = aux['mfu']
+        _flush()
+        details['trainer_steps_per_sec_vctk_gan_realdata'] = \
+            bench_trainer_realdata(gan=True)
+    _section('trainer_vctk_gan', 360, sec_gan)
+
+    def sec_preprocess():
+        # device-loop slope variants: one dispatch per run and the slope
+        # between two loop lengths cancels the tunnel's per-dispatch RTT
+        # (measured 0.8-27 ms between sessions) - the authoritative numbers
+        aux = {}
+        dl_fused = bench_preprocess_deviceloop(fused=True, aux=aux)
+        dl_f32 = bench_preprocess_deviceloop(fused=True, precision='highest')
+        dl_xla = bench_preprocess_deviceloop(fused=False)
+        details['preprocess_utterances_per_sec'] = dl_fused
+        details['preprocess_utterances_per_sec_f32'] = dl_f32
+        details['preprocess_utterances_per_sec_xla'] = dl_xla
+        details['preprocess_fused_vs_xla_ratio'] = dl_fused / dl_xla
+        if aux.get('mfu'):
+            details['preprocess_mfu'] = aux['mfu']
+        details['preprocess_deviceloop'] = {
+            'fused_bf16x3': dl_fused, 'fused_f32': dl_f32, 'xla': dl_xla,
+            'fused_vs_xla_ratio': dl_fused / dl_xla,
+            'fused_f32_vs_xla_ratio': dl_f32 / dl_xla}
+        _flush()
+        # e2e wire ladder: the round-4 leg probe showed fresh-content H2D
+        # dominates through the tunnel, so the pipeline ships fewer bytes
+        # each rung; per-wire log-mel deltas recorded alongside.
+        acc = bench_preprocess_wire_accuracy()
+        details['preprocess_e2e_wire_logmel_delta'] = acc
+        _flush()
+        # pre-assigned so each per-variant _flush() persists what's already
+        # measured even if a later variant times the section out
+        e2e = details.setdefault('preprocess_e2e_variants', {})
+        e2e['i16_src_bf16'] = bench_preprocess_e2e()
+        _flush()
+        e2e['i16_src_int8'] = bench_preprocess_e2e(wire='int8')
+        _flush()
+        try:
+            e2e['mulaw8_tgt_int8'] = bench_preprocess_e2e(
+                wire='int8', h2d='mulaw8_tgt')
+            _flush()
+            e2e['i16_tgt_int8'] = bench_preprocess_e2e(
+                wire='int8', h2d='i16_tgt')
+            _flush()
+            e2e['i16_tgt_int8_b32'] = bench_preprocess_e2e(
+                wire='int8', h2d='i16_tgt', batch=32)
+        except Exception as e:
+            e2e['h2d_wire_error'] = repr(e)[:160]
+        # headline = fastest ACCURATE variant: the H2D wire's measured
+        # log-mel delta must stay under 0.01 max-abs (i16_src is exact,
+        # i16_tgt measured 1.5e-3; mu-law-8's 0.132 disqualifies it from
+        # the headline — recorded above for the ladder, per ADVICE r4)
+        def wire_ok(name):
+            for wire, d in acc.items():
+                if name.startswith(wire):
+                    return d['max_abs'] <= 0.01
+            return True   # i16_src: bit-exact wire, not in the delta table
+        gated = [(v, k) for k, v in e2e.items()
+                 if isinstance(v, float) and wire_ok(k)]
+        if gated:
+            best = max(gated)
+            details['preprocess_e2e_utterances_per_sec'] = best[0]
+            details['preprocess_e2e_config'] = best[1]
+            details['preprocess_e2e_accuracy_gate'] = 'h2d max_abs <= 0.01'
+        _flush()
+        details['preprocess_utterances_per_sec_chained'] = bench_preprocess(
+            fused=True)
+        details['preprocess_utterances_per_sec_chained_xla'] = \
+            bench_preprocess(fused=False)
+    _section('preprocess', 300, sec_preprocess)
+
+    def sec_trainer():
+        aux = {}
+        details['trainer_steps_per_sec_enhancement'] = bench_trainer(aux=aux)
+        details['trainer_steps_per_sec'] = \
+            details['trainer_steps_per_sec_enhancement']
+        if aux.get('mfu'):
+            details['trainer_enhancement_mfu'] = aux['mfu']
+        _flush()
+        details['trainer_steps_per_sec_enhancement_realdata'] = \
+            bench_trainer_realdata(gan=False)
+    _section('trainer', 240, sec_trainer)
+
+    # stable round-4 numbers ride the leftovers (VERDICT r4 #1)
+    def sec_flash():
+        details['flash_attention_compiled'] = bench_flash_attention()
+    _section('flash_attention', max(150.0, _remaining() - 240), sec_flash)
+
+    def sec_vocoder_v1():
+        details['vocoder_v1_fused_parity_max_abs_err'] = \
+            _vocoder_v1_parity_err()
+        _flush()
+        aux = {}
+        details['vocoder_v1_samples_per_sec'] = bench_vocoder_v1(aux=aux)
+        if aux.get('mfu'):
+            details['vocoder_v1_mfu'] = aux['mfu']
+        _flush()
+        details['vocoder_v1_samples_per_sec_bf16x3'] = bench_vocoder_v1(
+            precision='bf16x3')
+        _flush()
+        details['vocoder_v1_samples_per_sec_unfused_xla'] = bench_vocoder_v1(
+            fused=False)
+    _section('vocoder_v1', max(120.0, _remaining() - 30), sec_vocoder_v1)
 
     # Headline retry: if the vocoder section lost its budget to a cold
     # compile (cache-key churn after a kernel change), spend whatever is

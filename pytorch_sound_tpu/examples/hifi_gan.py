@@ -79,10 +79,13 @@ class HiFiGANTrainer(Trainer):
         wav = jnp.asarray(batch[0])[:, None, :]
         mel = mel_ops.hifigan_mel_spectrogram(wav[:, 0], **MEL_KW)
         r1, r2, r3 = jax.random.split(rng, 3)
+        # jitted inits: one dispatch per model instead of one per parameter
+        # (the eager-init dispatch storm dominated GAN bench setup over a
+        # degraded tunnel — VERDICT r4); executables persist in the cache
         return {
-            'gen': self.generator.init(r1, mel),
-            'mpd': self.mpd.init(r2, wav),
-            'msd': self.msd.init(r3, wav),
+            'gen': jax.jit(self.generator.init)(r1, mel),
+            'mpd': jax.jit(self.mpd.init)(r2, wav),
+            'msd': jax.jit(self.msd.init)(r3, wav),
         }
 
     def _ensure_initialized(self, batch):

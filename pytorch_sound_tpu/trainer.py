@@ -189,9 +189,13 @@ class Trainer:
         """Initialize model parameters from an example batch.
 
         Default: ``model.init(rng, batch[0])`` — override when your model
-        consumes more than the first field.
+        consumes more than the first field. The init is jitted: eager flax
+        init issues one device op PER PARAMETER (hundreds of small
+        dispatches — expensive through a remote-dispatch link); one compiled
+        program initializes the whole tree in a single dispatch and the
+        executable lands in the persistent compile cache.
         """
-        return self.model.init(rng, batch[0])
+        return jax.jit(self.model.init)(rng, batch[0])
 
     # ------------------------------------------------------------------ run loop
 
