@@ -780,7 +780,13 @@ class Processor:
                 return reflect_tail(mat, [len(w[:_pad_len]) for w in wavs
                                           if w is not None]), lens, kept
 
-            q = queue.Queue(maxsize=2)
+            # THREE overlapped stages: decode(N+1) || H2D+dispatch(N) ||
+            # D2H fetch + np.save(N-1). With upload and fetch on one thread
+            # (the round-4 shape) a fetch blocked on the device serialized
+            # with the next upload — the measured per-dispatch overhead that
+            # kept e2e under its target (BENCH_DETAILS e2e legs).
+            q = queue.Queue(maxsize=2)         # decoded host batches
+            q_dev = queue.Queue(maxsize=2)     # dispatched device results
 
             def producer(_paths=paths, _decode=decode_batch, _q=q):
                 try:
@@ -790,9 +796,25 @@ class Processor:
                         except Exception as e:   # skip a bad batch, keep going
                             print('decode batch failed: {!r}'.format(e))
                 finally:
-                    _q.put(None)    # ALWAYS unblock the consumer
+                    _q.put(None)    # ALWAYS unblock the uploader
+
+            def uploader(_run=run, _q=q, _q_dev=q_dev):
+                try:
+                    while True:
+                        item = _q.get()
+                        if item is None:
+                            break
+                        batch, lens, names = item
+                        if batch is None:
+                            continue
+                        _q_dev.put((_run(jnp.asarray(batch),
+                                         jnp.asarray(lens, jnp.int32)),
+                                    lens, names))
+                finally:
+                    _q_dev.put(None)    # ALWAYS unblock the writer
 
             threading.Thread(target=producer, daemon=True).start()
+            threading.Thread(target=uploader, daemon=True).start()
 
             def write_out(mel_dev, lens, names):
                 if isinstance(mel_dev, tuple):  # int8 wire: dequantize
@@ -809,23 +831,12 @@ class Processor:
                     np.save(os.path.join(out_dir, name + '.mel.npy'),
                             mel[i, :, :n // hop + 1])
 
-            pending = None
             while True:
-                item = q.get()
+                item = q_dev.get()
                 if item is None:
                     break
-                batch, lens, names = item
-                if batch is None:
-                    continue
-                mel_dev = run(jnp.asarray(batch),    # async dispatch
-                              jnp.asarray(lens, jnp.int32))
-                if pending is not None:
-                    write_out(*pending)              # overlaps device compute
-                    bar.update(len(pending[2]))
-                pending = (mel_dev, lens, names)
-            if pending is not None:
-                write_out(*pending)
-                bar.update(len(pending[2]))
+                write_out(item[0], item[1], item[2])
+                bar.update(len(item[2]))
         bar.close()
         print('Finished: {} utterances'.format(len(wav_list)))
 
