@@ -1,0 +1,88 @@
+"""Flash attention at T=16384 (round-4's missing row) + per-T tile check.
+
+Round-4's harness uploaded (4, 8, 16384, 64) f32 host tensors (~134 MB) and
+died at the tunnel's HTTP body limit; tensors are now generated ON DEVICE.
+Times the trainable flash kernel fwd+bwd in bf16x3 at T in {8192, 16384}
+across tile candidates, and attempts dense at T=16384 for the failure record.
+"""
+import os
+import sys
+import time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+import numpy as np
+import jax
+import jax.numpy as jnp
+from pytorch_sound_tpu.utils.commons import enable_compilation_cache
+enable_compilation_cache()
+from pytorch_sound_tpu.ops.pallas.flash_attention import (
+    flash_attention_trainable)
+
+N, H, D = 4, 8, 64
+
+
+def slope_time(step, state, n1=3, n2=9, trials=3):
+    out = None
+    for _ in range(2):
+        state, out = step(state)
+    float(np.asarray(out).ravel()[0])
+    t1s, t2s = [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(n1):
+            state, out = step(state)
+        float(np.asarray(out).ravel()[0])
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for _ in range(n2):
+            state, out = step(state)
+        float(np.asarray(out).ravel()[0])
+        t2s.append(time.perf_counter() - t0)
+    slopes = [(b - a) / (n2 - n1) for a, b in zip(t1s, t2s) if b > a]
+    return float(np.median(slopes)) if slopes else min(t2s) / n2
+
+
+for T in (8192, 16384):
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(T), 3)
+    q = jax.random.normal(kq, (N, H, T, D), jnp.float32)
+    k = jax.random.normal(kk, (N, H, T, D), jnp.float32)
+    v = jax.random.normal(kv, (N, H, T, D), jnp.float32)
+    jax.block_until_ready((q, k, v))
+    flops = 14.0 * N * H * T * T * D     # fwd 4nhT^2d + bwd ~10nhT^2d
+    for bq, bkv in ((512, 1024), (256, 1024), (512, 512)):
+        def f(qq, _bq=bq, _bkv=bkv):
+            o = flash_attention_trainable(qq, k, v, None, _bq, _bkv, False,
+                                          'bf16x3')
+            return jnp.sum(jnp.sin(o))
+
+        g = jax.jit(jax.value_and_grad(f))
+
+        def step(state):
+            val, dq = g(state)
+            return state * (1.0 + 1e-4 * jnp.tanh(val)) + 1e-6 * dq, val
+        try:
+            dt = slope_time(step, q)
+            print('T=%d tiles=(%d,%d): %.1f ms fwd+bwd bf16x3  '
+                  '%.1f TF/s logical (%.3f of bf16 peak)'
+                  % (T, bq, bkv, dt * 1e3, flops / dt / 1e12,
+                     flops / dt / 197e12), flush=True)
+        except Exception as e:
+            print('T=%d tiles=(%d,%d): FAILED %r'
+                  % (T, bq, bkv, repr(e)[:160]), flush=True)
+    if T == 16384:
+        def dense(qq):
+            s = jnp.einsum('nhqd,nhkd->nhqk', qq, k,
+                           precision=jax.lax.Precision.HIGHEST) / (D ** 0.5)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum('nhqk,nhkd->nhqd', p, v,
+                           precision=jax.lax.Precision.HIGHEST)
+            return jnp.sum(jnp.sin(o))
+        try:
+            gd = jax.jit(jax.value_and_grad(dense))
+            val, _ = gd(q)
+            jax.block_until_ready(val)
+            print('T=16384 dense: unexpectedly ran', flush=True)
+        except Exception as e:
+            print('T=16384 dense: fails as expected: %s'
+                  % repr(e)[:200], flush=True)
+    del q, k, v
