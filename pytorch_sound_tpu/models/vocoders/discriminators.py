@@ -295,13 +295,29 @@ def msd_apply_folded(msd: MultiScaleDiscriminator, variables, x: jnp.ndarray,
         xs.append(jnp.pad(cur, [(0, 0), (0, t - cur.shape[1]), (0, 0)]))
     h = jnp.concatenate(xs, axis=-1).astype(dt)         # (N, T, n_scales)
 
-    def folded_wb(layer_name):
+    def folded_wb(layer_name, expand_groups):
+        """Concat the scales' weight-normed weights into one block-diagonal
+        grouped-conv weight. With ``expand_groups`` the per-scale GROUPED
+        weight is first zero-expanded to a per-scale DENSE block (the
+        narrow-cg lever the unfolded auto table uses) so the folded conv
+        runs at groups = n_scales with a full-width reduction — routing the
+        folded layer through the generic auto table instead would
+        dense-expand over ALL n_scales*g groups and execute n_scales*g x
+        the true MACs (measured 2.7x total step FLOPs, gan_r5 round 1)."""
         ws, bs = [], []
         for s in range(n_scales):
             p = params['scale_%d' % s][layer_name]
             v, g, b = p['v'], p['g'], p['bias']
             norm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2), keepdims=True) + 1e-12)
-            ws.append(g * v / norm)
+            w = g * v / norm
+            if expand_groups is not None and expand_groups > 1:
+                oc_s, cg, k = w.shape
+                ocg = oc_s // expand_groups
+                eye = jnp.eye(expand_groups, dtype=w.dtype)
+                w = jnp.einsum('gock,gh->gohck',
+                               w.reshape(expand_groups, ocg, cg, k), eye)
+                w = w.reshape(oc_s, expand_groups * cg, k)
+            ws.append(w)
             bs.append(b)
         return (jnp.concatenate(ws, axis=0).astype(dt),
                 jnp.concatenate(bs, axis=0))
@@ -309,10 +325,15 @@ def msd_apply_folded(msd: MultiScaleDiscriminator, variables, x: jnp.ndarray,
     from pytorch_sound_tpu.ops.pallas.grouped_conv import grouped_conv1d_ntc
     features = [[] for _ in range(n_scales)]
     buf_len = t
-    for i, (_ic, oc, k, s, g, p) in enumerate(layout):
-        w, b = folded_wb('conv_%d' % i)
+    for i, (ic, oc, k, s, g, p) in enumerate(layout):
+        # mirror the unfolded auto table per layer: narrow per-group
+        # reductions (cg < 32) ride a per-scale dense expansion (folded
+        # groups = n_scales); wide ones stay native grouped (n_scales * g)
+        narrow = (ic // g) < 32
+        w, b = folded_wb('conv_%d' % i, g if narrow else None)
         h = grouped_conv1d_ntc(h, w, b, stride=s, padding=p,
-                               groups=n_scales * g, slope=0.1,
+                               groups=n_scales * (1 if narrow else g),
+                               slope=0.1,
                                backend=backend,
                                precision=('highest' if msd.precision ==
                                           'highest' else 'default'))
@@ -329,7 +350,7 @@ def msd_apply_folded(msd: MultiScaleDiscriminator, variables, x: jnp.ndarray,
         for si, li in enumerate(lens):
             features[si].append(h4[:, :li, si, :])
         h = h4.reshape(h.shape[0], buf_len, n_scales * oc)
-    w, b = folded_wb('conv_post')
+    w, b = folded_wb('conv_post', None)
     h = grouped_conv1d_ntc(h, w, b, stride=1, padding=1, groups=n_scales,
                            backend=backend,
                            precision=('highest' if msd.precision == 'highest'

@@ -1067,9 +1067,11 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
             # lowering collapses when the per-group reduction is narrow, so
             # dense expansion wins at cin/groups < 32 (L1 2.6x, L2 1.5x
             # fwd+dx+dw) and native grouped wins from cg == 32 up (L3
-            # 0.88 ms native vs 0.97 dense; L4 4x, L5 7x)
+            # 0.88 ms native vs 0.97 dense; L4 4x, L5 7x).
+            # PSTPU_GC_DENSE_CG_MAX: A/B override — dense expansion is used
+            # for cg < this bound (33 restores the round-4 cg <= 32 table).
             use_kernel = False
-            expand = cg < 32
+            expand = cg < int(_os.environ.get('PSTPU_GC_DENSE_CG_MAX', '32'))
     else:
         use_kernel = True   # explicit interpret runs always take the kernel
     if backend in ('xla', 'xla_dense'):

@@ -294,8 +294,11 @@ def test_msd_folded_matches_unfolded():
     import pytorch_sound_tpu.models.vocoders.discriminators as disc
 
     rng = np.random.default_rng(7)
-    wav = jnp.asarray(rng.standard_normal((2, 1, 2048)), dtype=jnp.float32)
-    for n_scales, width in ((3, 0.0625), (2, 0.125)):
+    # width 1.0 @ short T covers the wide-cg native-grouped folded arm
+    # (cg >= 32); the small widths cover the per-scale dense-expanded arm
+    for n_scales, width, t in ((3, 0.0625, 2048), (2, 0.125, 2048),
+                               (3, 1.0, 512)):
+        wav = jnp.asarray(rng.standard_normal((2, 1, t)), dtype=jnp.float32)
         msd = disc.MultiScaleDiscriminator(n_scales=n_scales, width=width)
         params = msd.init(jax.random.PRNGKey(3), wav)
         ref = msd.apply(params, wav)
