@@ -711,8 +711,13 @@ def bench_trainer(batch: int = 8, fix_len: int = 16384, iters: int = 10,
     return 1.0 / dt
 
 
-# round-5 GAN-step winners (benchmarks/probes/results/gan_r5.log); '0' until
-# the on-device A/B lands, then flipped to the measured best
+# round-5 GAN-step A/B outcome (benchmarks/probes/results/gan_r5.log, round-2
+# section, 2026-08-19): at the restored cg<=32 dense routing the round-4
+# config WINS — r4base 13.83 steps/s vs bf16 critics 13.23 (the cast traffic
+# eats the HBM saving; the dense-expanded convs already run bf16 MXU passes
+# at DEFAULT precision) vs folded MSD 8.48 (the padded pooled scales cost
+# 1.6x the FLOPs); folded+bf16 SIGABRTs the XLA TPU compiler (fusion_util
+# TransformWindow on bf16[16,8192,1]). Both levers stay OFF by default.
 GAN_BEST_FOLDED = '0'
 GAN_BEST_BF16 = '0'
 

@@ -170,7 +170,7 @@ class ScaleDiscriminator(nn.Module):
     precision: str = 'default'
     # Per-layer conv backend (7 body layers + conv_post). 'auto' resolves
     # each grouped layer to the measured winner on v5e (dense-expanded XLA
-    # conv when cin/groups < 32, native grouped XLA otherwise — on-device
+    # conv when cin/groups <= 32, native grouped XLA otherwise — on-device
     # A/B in benchmarks/probes/results/, 2026-08-19); 'xla' pins XLA's NTC
     # conv; 'pallas' opts into the Pallas kernel. The dense k=5 top layer
     # and conv_post stay pinned to XLA (the kernel measured slower on every
@@ -327,9 +327,9 @@ def msd_apply_folded(msd: MultiScaleDiscriminator, variables, x: jnp.ndarray,
     buf_len = t
     for i, (ic, oc, k, s, g, p) in enumerate(layout):
         # mirror the unfolded auto table per layer: narrow per-group
-        # reductions (cg < 32) ride a per-scale dense expansion (folded
+        # reductions (cg <= 32) ride a per-scale dense expansion (folded
         # groups = n_scales); wide ones stay native grouped (n_scales * g)
-        narrow = (ic // g) < 32
+        narrow = (ic // g) <= 32
         w, b = folded_wb('conv_%d' % i, g if narrow else None)
         h = grouped_conv1d_ntc(h, w, b, stride=s, padding=p,
                                groups=n_scales * (1 if narrow else g),

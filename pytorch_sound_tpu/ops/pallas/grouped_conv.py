@@ -1045,10 +1045,11 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
                     dense layers (groups == 1) ride the Pallas kernel when
                     eligible; grouped layers go to XLA — as a DENSE conv
                     with block-diagonal zero-expanded weights when the
-                    per-group reduction is narrow (cin/groups < 32: 2.6x
-                    at the MSD's L1, 1.5x at L2, fwd+dx+dw) and as XLA's
-                    native grouped conv from cin/groups == 32 up (L3 10%,
-                    L4 4x, L5 7x over the dense expansion).
+                    per-group reduction is narrow (cin/groups <= 32: 2.6x
+                    at the MSD's L1, 1.5x at L2 fwd+dx+dw; at the cg==32
+                    L1/L3 the full GAN step measures dense 13.83 vs native
+                    9.99 steps/s) and as XLA's native grouped conv from
+                    cin/groups == 64 up (L4 4x, L5 7x over dense).
       'xla'       — XLA's grouped NTC conv.
       'xla_dense' — the zero-expanded dense formulation (executes
                     ``groups``x the true MACs at full 128-lane MXU fill).
@@ -1065,13 +1066,17 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
             # measured decision table (kvar + dense probes, 2026-08-19):
             # the kernel loses on every grouped MSD geometry; XLA's grouped
             # lowering collapses when the per-group reduction is narrow, so
-            # dense expansion wins at cin/groups < 32 (L1 2.6x, L2 1.5x
-            # fwd+dx+dw) and native grouped wins from cg == 32 up (L3
-            # 0.88 ms native vs 0.97 dense; L4 4x, L5 7x).
+            # dense expansion wins at cin/groups <= 32 and native grouped
+            # from cg == 64 up (L4 4x, L5 7x fwd+dx+dw). The cg == 32
+            # boundary sits with DENSE: a fwd-only layer table once put
+            # native grouped 10% ahead there (0.88 vs 0.97 ms), but the
+            # full training step regressed 13.83 -> 9.99 steps/s with
+            # native at cg == 32 (grouped-conv BACKWARD collapses; A/B in
+            # benchmarks/probes/results/gan_r5.log, 2026-08-19).
             # PSTPU_GC_DENSE_CG_MAX: A/B override — dense expansion is used
-            # for cg < this bound (33 restores the round-4 cg <= 32 table).
+            # for cg < this bound (32 restores the fwd-table routing).
             use_kernel = False
-            expand = cg < int(_os.environ.get('PSTPU_GC_DENSE_CG_MAX', '32'))
+            expand = cg < int(_os.environ.get('PSTPU_GC_DENSE_CG_MAX', '33'))
     else:
         use_kernel = True   # explicit interpret runs always take the kernel
     if backend in ('xla', 'xla_dense'):

@@ -461,11 +461,13 @@ def test_auto_backend_grouped_routes_off_kernel_on_cpu():
     """'auto' + groups>1 must not crash off-TPU and must match XLA exactly.
 
     Covers both arms of the measured decision table: narrow per-group
-    reductions (cin/groups < 32) lower to xla_dense, wide ones
-    (cin/groups >= 32, incl. the cg==32 boundary) to XLA's native grouped
-    conv."""
+    reductions (cin/groups <= 32, incl. the cg==32 boundary — the full
+    training step measured dense 13.83 vs native 9.99 steps/s there,
+    gan_r5.log) lower to xla_dense, wide ones (cin/groups > 32) to XLA's
+    native grouped conv."""
     for ci, g in ((64, 4), (64, 8),    # cg = 16, 8  -> dense expansion
-                  (256, 8), (512, 8)):  # cg = 32, 64 -> native grouped
+                  (256, 8),             # cg = 32     -> dense expansion
+                  (512, 8)):            # cg = 64     -> native grouped
         x, w, b = _make(ci, 64, 9, g, 128)
         got = grouped_conv1d_ntc(x, w, b, stride=1, padding=4, groups=g,
                                  slope=SLOPE, backend='auto',
