@@ -424,7 +424,8 @@ def bench_preprocess_deviceloop(batch: int = 16, seconds: float = 4.0,
 
 def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
                          src_sr: int = 48000, batch: int = 64,
-                         wire: str = 'bf16', h2d: str = 'i16_src'):
+                         wire: str = 'bf16', h2d: str = 'i16_src',
+                         stages: int = 2):
     """Full BASELINE-config-1 path: wav decode (host parse only) ->
     ON-DEVICE Kaiser-polyphase resample -> RMS normalize -> fused log-mel,
     all one jitted program. utterances/sec.
@@ -546,35 +547,28 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
                          for w in wavs])
 
     def run_pipeline():
-        # THREE pipeline stages on separate threads (round-5, VERDICT #2):
-        # decode(N+1) || H2D+dispatch(N) || D2H fetch(N-1). The round-4
-        # two-stage version issued upload and fetch from ONE thread, so a
-        # fetch blocked on the tunnel's D2H serialized with the next
-        # upload — the per-dispatch overhead its leg probe measured.
+        # ``stages`` selects the overlap structure (round-5 A/B,
+        # benchmarks/probes/results/e2e_r5.log):
+        #   2 — decode(N+1) on a producer thread; ONE consumer thread
+        #       alternates H2D+dispatch(N) then D2H fetch(N-1). H2D and D2H
+        #       never run concurrently. MEASURED WINNER through the axon
+        #       tunnel (171 vs 125 utt/s at i16_tgt_int8 b64): the tunnel
+        #       serializes concurrent RPCs with head-of-line blocking, so
+        #       "overlapped" transfers contend instead of overlapping.
+        #   3 — decode(N+1) || H2D+dispatch(N) || D2H fetch(N-1) on three
+        #       threads. The right structure for co-located hardware, where
+        #       H2D and D2H ride independent DMA engines; regresses through
+        #       the single-stream tunnel.
         q_host = queue.Queue(maxsize=3)   # decoded numpy batches
-        q_dev = queue.Queue(maxsize=3)    # dispatched device results
 
         def producer():
             try:
                 for i in range(0, n_files, batch):
                     q_host.put(decode(paths[i:i + batch]))
             finally:
-                q_host.put(None)    # always unblock the uploader
-
-        def uploader():
-            try:
-                while True:
-                    item = q_host.get()
-                    if item is None:
-                        break
-                    # jax dispatch is thread-safe; device_put + the program
-                    # launch overlap the main thread's blocking fetches
-                    q_dev.put(mel_fn(jnp.asarray(item)))
-            finally:
-                q_dev.put(None)
+                q_host.put(None)    # always unblock the consumer
 
         threading.Thread(target=producer, daemon=True).start()
-        threading.Thread(target=uploader, daemon=True).start()
 
         def fetch(dev):
             # full D2H materialization + the host-side dequant/re-expansion
@@ -588,11 +582,39 @@ def bench_preprocess_e2e(n_files: int = 192, seconds: float = 4.0,
             else:
                 float(np.asarray(dev).astype(np.float32).ravel()[0])
 
-        while True:
-            item = q_dev.get()
-            if item is None:
-                break
-            fetch(item)
+        if stages >= 3:
+            q_dev = queue.Queue(maxsize=3)    # dispatched device results
+
+            def uploader():
+                try:
+                    while True:
+                        item = q_host.get()
+                        if item is None:
+                            break
+                        # jax dispatch is thread-safe; device_put + launch
+                        # overlap the main thread's blocking fetches
+                        q_dev.put(mel_fn(jnp.asarray(item)))
+                finally:
+                    q_dev.put(None)
+
+            threading.Thread(target=uploader, daemon=True).start()
+            while True:
+                item = q_dev.get()
+                if item is None:
+                    break
+                fetch(item)
+        else:
+            pending = None
+            while True:
+                item = q_host.get()
+                if item is None:
+                    break
+                dev = mel_fn(jnp.asarray(item))    # async dispatch
+                if pending is not None:
+                    fetch(pending)                 # fetch batch N-1
+                pending = dev
+            if pending is not None:
+                fetch(pending)
 
     dt = _timeit(run_pipeline, warmup=1, iters=3)
     return n_files / dt
@@ -1018,10 +1040,14 @@ def bench_flash_attention(n: int = 4, h: int = 8, t: int = 2048, d: int = 64):
     # (n*h, T, T) score/probability tensors (34 GB at T=16384 — expected to
     # fail on a 16 GB chip; the failure is recorded as evidence)
     def make_step_kv(f, kk, vv):
-        g = jax.jit(jax.value_and_grad(lambda q: loss(f)(q, kk, vv)))
+        # k/v must be jit ARGUMENTS: jit bakes closed-over device arrays
+        # into the serialized HLO as dense constants, and at T=16384 that
+        # put ~268 MB in the remote_compile request body -> HTTP 413
+        # (round-5 root cause of the missing T=16384 rows)
+        g = jax.jit(jax.value_and_grad(lambda q, k_, v_: loss(f)(q, k_, v_)))
 
         def step(state):
-            val, dq = g(state)
+            val, dq = g(state, kk, vv)
             return state * (1.0 + 1e-4 * jnp.tanh(val)) + 1e-6 * dq, val
         return step
 

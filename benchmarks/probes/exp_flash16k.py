@@ -2,6 +2,10 @@
 
 Round-4's harness uploaded (4, 8, 16384, 64) f32 host tensors (~134 MB) and
 died at the tunnel's HTTP body limit; tensors are now generated ON DEVICE.
+Round-5 fix #2: k/v must be jit ARGUMENTS, not closure captures — jit bakes
+closed-over device arrays into the serialized HLO as dense constants, so at
+T=16384 the compile request body carried ~268 MB of weights and the tunnel's
+remote_compile endpoint rejected it with HTTP 413.
 Times the trainable flash kernel fwd+bwd in bf16x3 at T in {8192, 16384}
 across tile candidates, and attempts dense at T=16384 for the failure record.
 """
@@ -50,15 +54,15 @@ for T in (8192, 16384):
     jax.block_until_ready((q, k, v))
     flops = 14.0 * N * H * T * T * D     # fwd 4nhT^2d + bwd ~10nhT^2d
     for bq, bkv in ((512, 1024), (256, 1024), (512, 512)):
-        def f(qq, _bq=bq, _bkv=bkv):
-            o = flash_attention_trainable(qq, k, v, None, _bq, _bkv, False,
-                                          'bf16x3')
+        def f(qq, kk_, vv_, _bq=bq, _bkv=bkv):
+            o = flash_attention_trainable(qq, kk_, vv_, None, _bq, _bkv,
+                                          False, 'bf16x3')
             return jnp.sum(jnp.sin(o))
 
         g = jax.jit(jax.value_and_grad(f))
 
         def step(state):
-            val, dq = g(state)
+            val, dq = g(state, k, v)
             return state * (1.0 + 1e-4 * jnp.tanh(val)) + 1e-6 * dq, val
         try:
             dt = slope_time(step, q)
@@ -70,16 +74,16 @@ for T in (8192, 16384):
             print('T=%d tiles=(%d,%d): FAILED %r'
                   % (T, bq, bkv, repr(e)[:160]), flush=True)
     if T == 16384:
-        def dense(qq):
-            s = jnp.einsum('nhqd,nhkd->nhqk', qq, k,
+        def dense(qq, kk_, vv_):
+            s = jnp.einsum('nhqd,nhkd->nhqk', qq, kk_,
                            precision=jax.lax.Precision.HIGHEST) / (D ** 0.5)
             p = jax.nn.softmax(s, axis=-1)
-            o = jnp.einsum('nhqk,nhkd->nhqd', p, v,
+            o = jnp.einsum('nhqk,nhkd->nhqd', p, vv_,
                            precision=jax.lax.Precision.HIGHEST)
             return jnp.sum(jnp.sin(o))
         try:
             gd = jax.jit(jax.value_and_grad(dense))
-            val, _ = gd(q)
+            val, _ = gd(q, k, v)
             jax.block_until_ready(val)
             print('T=16384 dense: unexpectedly ran', flush=True)
         except Exception as e:

@@ -590,7 +590,7 @@ class Processor:
     def extract_features(in_dir: str, out_dir: str, batch_size: int = 16,
                          pad_seconds: float = 10.0, sample_rate: int = 22050,
                          precision: str = 'bf16x3', wire: str = 'bf16',
-                         h2d: str = 'i16_src'):
+                         h2d: str = 'i16_src', stages: int = 2):
         """NEW (TPU path): batched on-device resample + RMS-normalize +
         fused log-mel.
 
@@ -780,13 +780,19 @@ class Processor:
                 return reflect_tail(mat, [len(w[:_pad_len]) for w in wavs
                                           if w is not None]), lens, kept
 
-            # THREE overlapped stages: decode(N+1) || H2D+dispatch(N) ||
-            # D2H fetch + np.save(N-1). With upload and fetch on one thread
-            # (the round-4 shape) a fetch blocked on the device serialized
-            # with the next upload — the measured per-dispatch overhead that
-            # kept e2e under its target (BENCH_DETAILS e2e legs).
+            # ``stages`` picks the overlap structure (A/B'd round 5,
+            # benchmarks/probes/results/e2e_r5.log):
+            #   2 (default) — decode(N+1) on a producer thread; the main
+            #       thread alternates H2D+dispatch(N) with D2H+np.save(N-1),
+            #       so upload and fetch RPCs never run concurrently. The
+            #       measured winner through a serialized transport (the
+            #       axon tunnel: 171 vs 125 utt/s at i16_tgt int8 b64 —
+            #       concurrent transfers contend head-of-line instead of
+            #       overlapping).
+            #   3 — decode(N+1) || H2D+dispatch(N) || D2H+np.save(N-1) on
+            #       three threads; the right structure for co-located hosts
+            #       where H2D and D2H ride independent DMA engines.
             q = queue.Queue(maxsize=2)         # decoded host batches
-            q_dev = queue.Queue(maxsize=2)     # dispatched device results
 
             def producer(_paths=paths, _decode=decode_batch, _q=q):
                 try:
@@ -796,25 +802,16 @@ class Processor:
                         except Exception as e:   # skip a bad batch, keep going
                             print('decode batch failed: {!r}'.format(e))
                 finally:
-                    _q.put(None)    # ALWAYS unblock the uploader
-
-            def uploader(_run=run, _q=q, _q_dev=q_dev):
-                try:
-                    while True:
-                        item = _q.get()
-                        if item is None:
-                            break
-                        batch, lens, names = item
-                        if batch is None:
-                            continue
-                        _q_dev.put((_run(jnp.asarray(batch),
-                                         jnp.asarray(lens, jnp.int32)),
-                                    lens, names))
-                finally:
-                    _q_dev.put(None)    # ALWAYS unblock the writer
+                    _q.put(None)    # ALWAYS unblock the consumer
 
             threading.Thread(target=producer, daemon=True).start()
-            threading.Thread(target=uploader, daemon=True).start()
+
+            def dispatch(item, _run=run):
+                batch, lens, names = item
+                if batch is None:
+                    return None
+                return (_run(jnp.asarray(batch),
+                             jnp.asarray(lens, jnp.int32)), lens, names)
 
             def write_out(mel_dev, lens, names):
                 if isinstance(mel_dev, tuple):  # int8 wire: dequantize
@@ -831,12 +828,42 @@ class Processor:
                     np.save(os.path.join(out_dir, name + '.mel.npy'),
                             mel[i, :, :n // hop + 1])
 
-            while True:
-                item = q_dev.get()
-                if item is None:
-                    break
-                write_out(item[0], item[1], item[2])
-                bar.update(len(item[2]))
+            if stages >= 3:
+                q_dev = queue.Queue(maxsize=2)     # dispatched device results
+
+                def uploader(_q=q, _q_dev=q_dev):
+                    try:
+                        while True:
+                            item = _q.get()
+                            if item is None:
+                                break
+                            out = dispatch(item)
+                            if out is not None:
+                                _q_dev.put(out)
+                    finally:
+                        _q_dev.put(None)    # ALWAYS unblock the writer
+
+                threading.Thread(target=uploader, daemon=True).start()
+                while True:
+                    item = q_dev.get()
+                    if item is None:
+                        break
+                    write_out(item[0], item[1], item[2])
+                    bar.update(len(item[2]))
+            else:
+                pending = None
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    out = dispatch(item)       # async H2D + program launch
+                    if pending is not None:
+                        write_out(*pending)    # D2H + save batch N-1
+                        bar.update(len(pending[2]))
+                    pending = out
+                if pending is not None:
+                    write_out(*pending)
+                    bar.update(len(pending[2]))
         bar.close()
         print('Finished: {} utterances'.format(len(wav_list)))
 

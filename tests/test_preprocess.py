@@ -122,14 +122,17 @@ def test_cli_help_and_unknown(capsys):
         fire_like(Processor, ['definitely_not_a_command'])
 
 
-def test_extract_features_overlapped(tmp_path):
-    """The double-buffered extract_features pipeline writes one (80, T) mel
+@pytest.mark.parametrize('stages', [2, 3])
+def test_extract_features_overlapped(tmp_path, stages):
+    """Both overlap structures (two-stage alternate-transfer default and
+    the three-thread variant for co-located hosts) write one (80, T) mel
     per utterance with correct per-file frame counts."""
     import numpy as np
     from pytorch_sound_tpu import settings
     from pytorch_sound_tpu.utils.wavio import write_wav
 
-    in_dir, out_dir = str(tmp_path / 'in'), str(tmp_path / 'out')
+    in_dir = str(tmp_path / 'in')
+    out_dir = str(tmp_path / ('out%d' % stages))
     os.makedirs(in_dir)
     sr = settings.SAMPLE_RATE
     lengths = [sr, sr + 1234, sr // 2, 2 * sr, sr + 7]
@@ -138,7 +141,8 @@ def test_extract_features_overlapped(tmp_path):
         write_wav(os.path.join(in_dir, 'u%02d.wav' % i),
                   (0.1 * rng.standard_normal(n)).astype(np.float32), sr)
 
-    Processor.extract_features(in_dir, out_dir, batch_size=2, pad_seconds=2.5)
+    Processor.extract_features(in_dir, out_dir, batch_size=2,
+                               pad_seconds=2.5, stages=stages)
 
     for i, n in enumerate(lengths):
         mel = np.load(os.path.join(out_dir, 'u%02d.mel.npy' % i))
