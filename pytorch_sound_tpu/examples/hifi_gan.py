@@ -349,7 +349,7 @@ def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
          valid_max_step: int = 20, save_interval: int = 5000,
          log_interval: int = 100, lr: float = 2e-4, arch: str = 'hifi_gan_v2',
          msd_pallas: int = -1, mpd_pallas: bool = False,
-         msd_folded: bool = True, disc_bf16: bool = True):
+         msd_folded: bool = False, disc_bf16: bool = False):
     """Train a HiFi-GAN on any wave-first dataset (vctk, ljspeech, libri_tts).
 
     ``msd_pallas``: -1 (default) = the measured-fastest per-layer backend
@@ -358,10 +358,14 @@ def main(dataset: str, meta_dir: str, save_dir: str, batch_size: int = 16,
     onto the Pallas grouped-conv kernel (probe sessions).
     ``mpd_pallas``: run the MPD's period-folded dense stack on the kernel.
     ``msd_folded``: apply the MSD as one block-diagonal grouped stack
-    (exact same math/params; measured faster on v5e — see docs/KERNELS.md).
+    (exact same math/params; measured SLOWER on v5e at the default config —
+    8.48 vs 13.83 steps/s, the padded pooled scales cost more FLOPs than the
+    saved dispatches — so off by default; see gan_r5.log).
     ``disc_bf16``: run both critics with bf16 activations/weights (f32
-    master params + f32 MXU accumulate; standard mixed-precision GAN
-    practice — quality guard in benchmarks/probes/exp_bf16_quality.py).
+    master params + f32 MXU accumulate). Quality-guarded (drift 0.0011 over
+    200 steps, exp_bf16_quality.py) but measured no faster than f32 on v5e
+    (13.23 vs 13.83 steps/s — DEFAULT precision already multiplies in bf16
+    on the MXU), so off by default.
     """
     from pytorch_sound_tpu.utils.commons import enable_compilation_cache
     enable_compilation_cache()   # warm restarts skip the long first compile

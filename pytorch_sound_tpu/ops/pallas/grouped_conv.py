@@ -992,12 +992,18 @@ def conv_transpose1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
     of the mirror strided conv, so the fwd here runs `_dx_impl`'s
     output-folded program (per output phase r, taps at m ≡ (r+pad) mod s),
     and the VJP reuses `_fwd_impl` (dx) and `_dw_impl` (dw) with the roles
-    of input and cotangent swapped. Dispatches to Pallas on TPU for
-    eligible geometries; XLA conv_transpose otherwise.
+    of input and cotangent swapped.
+
+    ``backend='auto'`` routes to XLA by default: the generator-level A/B
+    (gen_r5.log, 2026-08-20) measured the XLA path faster for the training
+    fwd+bwd at every tested mix; PSTPU_GC_DENSE_PALLAS=1 restores the
+    kernel routing, and backend='pallas' forces it per call.
     """
     if interpret is None:
         interpret = False
-        use_kernel = jax.default_backend() == 'tpu'
+        use_kernel = (jax.default_backend() == 'tpu'
+                      and (backend == 'pallas' or
+                           _os.environ.get('PSTPU_GC_DENSE_PALLAS') == '1'))
     else:
         use_kernel = True
     if backend == 'xla':
@@ -1015,7 +1021,10 @@ def conv_transpose1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
         dimension_numbers=('NHC', 'HIO', 'NHC'),
         precision=(jax.lax.Precision.HIGHEST if precision == 'highest'
                    else jax.lax.Precision.DEFAULT),
-        preferred_element_type=jnp.float32)
+        # bf16 in -> bf16 out, same contract (and same AD-transpose dtype
+        # constraint) as the grouped_conv1d_ntc fallback below
+        preferred_element_type=(x.dtype if x.dtype == jnp.bfloat16
+                                else jnp.float32))
     if b is not None:
         out = out + b[None, None, :]
     if slope is not None:
@@ -1062,6 +1071,18 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
     if interpret is None:
         interpret = False
         use_kernel = jax.default_backend() == 'tpu'
+        if backend == 'auto' and groups == 1:
+            # measured decision (gen_r5.log, 2026-08-20): for the TRAINING
+            # path XLA's dense NTC conv beats the Pallas kernel on the v2
+            # generator's geometries — fwd 3.40 vs 5.88 ms, fwd+bwd 15.26
+            # vs 21.70 ms at B=16 x T=8192 (XLA fuses leaky_relu/residual
+            # chains across layer edges; the custom calls block that). The
+            # kernel stays reachable via backend='pallas' (the fused
+            # inference stages in ops/pallas/gen_stage.py are a separate,
+            # still-measured-faster path). PSTPU_GC_DENSE_PALLAS=1 restores
+            # the kernel routing for A/B sessions.
+            use_kernel = (use_kernel and
+                          _os.environ.get('PSTPU_GC_DENSE_PALLAS') == '1')
         if backend == 'auto' and groups > 1:
             # measured decision table (kvar + dense probes, 2026-08-19):
             # the kernel loses on every grouped MSD geometry; XLA's grouped
@@ -1079,12 +1100,29 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
             expand = cg < int(_os.environ.get('PSTPU_GC_DENSE_CG_MAX', '33'))
     else:
         use_kernel = True   # explicit interpret runs always take the kernel
-    if backend in ('xla', 'xla_dense'):
+    if backend in ('xla', 'xla_dense', 'fold'):
         use_kernel = False
     if use_kernel and eligible(cin, cout, k, stride, groups, t_in, padding,
                                dilation):
         return _pallas_grouped_conv(x, w, b, stride, padding, groups,
                                     dilation, slope, precision, interpret)
+    # time-folded reformulation for narrow same-length dense convs (the
+    # generator ResBlock regime): f consecutive timesteps folded into
+    # channels so the conv runs at 128 MXU lanes (ops/fold_conv.py).
+    # backend='fold' forces it; PSTPU_GC_FOLD=1 routes eligible 'auto'
+    # layers through it on TPU (A/B knob; default decided by the measured
+    # generator/step-level table in benchmarks/probes/results/gen_r5.log).
+    if (backend == 'fold'
+            or (backend == 'auto' and jax.default_backend() == 'tpu'
+                and _os.environ.get('PSTPU_GC_FOLD', '0') == '1')):
+        from pytorch_sound_tpu.ops.fold_conv import (fold_conv1d_ntc,
+                                                     fold_eligible)
+        f = fold_eligible(cin, cout, stride, groups, t_in, k, dilation,
+                          padding)
+        if f:
+            return fold_conv1d_ntc(x, w, b, dilation=dilation,
+                                   padding=padding, fold=f, slope=slope,
+                                   precision=precision)
     # XLA fallback (NTC conv)
     if expand and groups > 1:
         # block-diagonal dense expansion: einsum against eye keeps the
