@@ -9,22 +9,25 @@ whole training forward at ~3% MFU (benchmarks/probes/results/gen_r5.log).
 
 The fix is algebraic, not a kernel: fold ``f`` consecutive timesteps into
 channels (``f = 128 // C``) so the conv runs at 128 lanes. For the stride-1
-conv ``y[t] = sum_j w[j] @ xp[t + j*d]`` (xp = input padded by ``pad``),
-write ``t = tau*f + r``; then ``a = r + j*d`` splits as ``a = o*f + q`` and
+same-length conv ``y[t] = sum_j w[j] @ x[t + j*d - pad]``, write
+``t = tau*f + r`` and shift ``a = r + j*d + s0`` with ``s0 = P0*f - pad``
+(``P0 = ceil(pad/f)``) so every index splits cleanly as ``a = o*f + q``:
 
     y_fold[tau, r*C:(r+1)*C] = sum_o W_fold[o, q*C:(q+1)*C, r*C:(r+1)*C]
-                                      @ xp_fold[tau + o]
+                                      @ x_fold[tau - P0 + o]
 
-i.e. ONE ordinary (f*C -> f*C) conv with ``k' = (f-1 + (k-1)*d)//f + 1``
-taps, whose weight is the original ``(C_out, C_in, k)`` weight zero-scattered
-into block positions — a trace-time-static scatter, so autodiff gives exact
-``dw`` (gather-transpose) and ``dx`` (wide transposed conv) for free.
+i.e. ONE ordinary (f*C -> f*C) conv with ``k' = (s0 + f-1 + (k-1)*d)//f + 1``
+taps and block padding ``(P0, k'-1-P0)`` — no time-axis pad copy, no output
+slice; the fold itself is a free contiguous reshape. The folded weight is the
+original ``(C_out, C_in, k)`` weight contracted against a precomputed one-hot
+placement tensor (a dense einsum: an ``.at[].add`` scatter here lowers to
+thousands of serial scalar updates per step — measured 4x the conv's own
+time). Autodiff through the einsum gives exact ``dw`` and through the wide
+conv gives ``dx``, so the backward inherits the 128-lane shapes too.
 
-Cost model: executed MACs grow by ``f*k'/k`` (the scattered weight is mostly
-zeros) but run at full lane width; at 8 channels that trades ~7x the FLOPs
-for ~16x the utilization, and both the forward and EVERY AD-generated
-backward conv inherit the wide shape. Measured generator-level and
-step-level A/Bs live in benchmarks/probes/results/gen_r5.log.
+Cost model: executed MACs grow by ``f*k'/k`` (the folded weight is mostly
+zeros) but run at full lane width. Measured generator-level and step-level
+A/Bs live in benchmarks/probes/results/gen_r5.log.
 """
 import functools
 
@@ -34,35 +37,37 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=None)
-def _fold_plan(k: int, dilation: int, fold: int):
-    """Static (o, q, r, j) index table for the weight scatter.
+def _fold_placement(k: int, dilation: int, fold: int, padding: int):
+    """(k', P0, P1, P[j, r, o, q]) one-hot placement for the weight fold.
 
     numpy-only (device conversion happens at the use site): caching jnp
     arrays would capture trace-bound constants and leak tracers across jit
     boundaries.
     """
+    p0 = -(-padding // fold)                      # ceil(pad/f) left blocks
+    s0 = p0 * fold - padding
     j = np.arange(k)[None, :]                     # (1, k)
     r = np.arange(fold)[:, None]                  # (f, 1)
-    a = r + dilation * j                          # (f, k)
+    a = r + dilation * j + s0                     # (f, k), all >= 0
     o, q = a // fold, a % fold
     kp = int(o.max()) + 1
-    return (kp, o.ravel(), q.ravel(),
-            np.broadcast_to(r, a.shape).ravel(),
-            np.broadcast_to(j, a.shape).ravel())
+    p1 = kp - 1 - p0                              # right blocks: out len T/f
+    assert p1 >= 0, (k, dilation, fold, padding)
+    pl = np.zeros((k, fold, kp, fold), np.float32)
+    rr = np.broadcast_to(r, a.shape)
+    jj = np.broadcast_to(j, a.shape)
+    pl[jj.ravel(), rr.ravel(), o.ravel(), q.ravel()] = 1.0
+    return kp, p0, p1, pl
 
 
-def fold_weight(w: jnp.ndarray, dilation: int, fold: int) -> jnp.ndarray:
+def fold_weight(w: jnp.ndarray, dilation: int, fold: int,
+                padding: int = 0) -> jnp.ndarray:
     """(C_out, C_in, K) torch-layout weight -> (K', f*C_in, f*C_out) HIO."""
     cout, cin, k = w.shape
-    kp, o, q, r, j = _fold_plan(k, dilation, fold)
-    wf = jnp.zeros((kp, fold * cin, fold * cout), dtype=w.dtype)
-    # w[:, :, j] -> (cout, cin, f*k); scatter each (q,r) channel block
-    wj = w[:, :, j].transpose(2, 1, 0)            # (f*k, cin, cout)
-    ci = jnp.arange(cin)
-    co = jnp.arange(cout)
-    return wf.at[o[:, None, None],
-                 q[:, None, None] * cin + ci[None, :, None],
-                 r[:, None, None] * cout + co[None, None, :]].add(wj)
+    kp, _, _, pl = _fold_placement(k, dilation, fold, padding)
+    # (kp, q, cin, r, cout): one small dense contraction over j
+    wf = jnp.einsum('jroq,abj->oqbra', jnp.asarray(pl, dtype=w.dtype), w)
+    return wf.reshape(kp, fold * cin, fold * cout)
 
 
 def fold_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray, b=None, *,
@@ -77,20 +82,17 @@ def fold_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray, b=None, *,
     n, t, cin = x.shape
     cout, cin_w, k = w.shape
     assert t % fold == 0, (t, fold)
-    wf = fold_weight(w, dilation, fold)
-    kp = wf.shape[0]
-    # pad so that folded tap tau + o reads xp[tau*f + o*f + q] = x[t - pad + a]
-    right = kp * fold - padding
-    xp = jnp.pad(x, ((0, 0), (padding, right), (0, 0)))
-    xf = xp.reshape(n, (t + padding + right) // fold, fold * cin)
+    kp, p0, p1, _ = _fold_placement(k, dilation, fold, padding)
+    wf = fold_weight(w, dilation, fold, padding)
+    xf = x.reshape(n, t // fold, fold * cin)      # contiguous: free reshape
     out = jax.lax.conv_general_dilated(
-        xf, wf, window_strides=(1,), padding=[(0, 0)],
+        xf, wf, window_strides=(1,), padding=[(p0, p1)],
         dimension_numbers=('NHC', 'HIO', 'NHC'),
         precision=(jax.lax.Precision.HIGHEST if precision == 'highest'
                    else jax.lax.Precision.DEFAULT),
         preferred_element_type=(x.dtype if x.dtype == jnp.bfloat16
                                 else jnp.float32))
-    out = out[:, :t // fold].reshape(n, t, cout)
+    out = out.reshape(n, t, cout)
     if b is not None:
         out = out + b[None, None, :]
     if slope is not None:
