@@ -770,11 +770,12 @@ def bench_trainer_vctk_gan(batch: int = 16, fix_len: int = 8192,
     generator + MPD + MSD, two optimizers).
 
     ``best_config=True`` (default) runs the measured-fastest configuration
-    on v5e (round-4 A/B, benchmarks/probes/results/): FUSED single-jit step
-    + channels-last (NTC) generator + the measured per-layer MSD backend
-    table — 14.04 steps/s vs 12.53 for the same config split into two jits
-    (XLA CSEs the disc-phase generator forward against the gen-phase tape)
-    and vs 6.91 for the round-2 split+Pallas-mask config.
+    on v5e (round-4/5 A/Bs, benchmarks/probes/results/): FUSED single-jit
+    step + channels-last (NTC) generator on the round-5 routing (narrow
+    ResBlock convs time-folded to 128 lanes, rest XLA; ops/fold_conv.py) +
+    the measured per-layer MSD backend table — 16.85 steps/s (MFU 0.552)
+    vs 15.78 all-XLA-generator, 13.83 round-4 Pallas-dense routing, 12.53
+    split two-jit, 6.91 round-2 config (ganstep_r5b.log, gan_r5.log).
     ``best_config=False`` runs the split two-jit step (lighter compiles;
     embeds the Pallas fused mel).
 

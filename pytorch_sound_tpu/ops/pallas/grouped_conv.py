@@ -1109,12 +1109,14 @@ def grouped_conv1d_ntc(x: jnp.ndarray, w: jnp.ndarray,
     # time-folded reformulation for narrow same-length dense convs (the
     # generator ResBlock regime): f consecutive timesteps folded into
     # channels so the conv runs at 128 MXU lanes (ops/fold_conv.py).
-    # backend='fold' forces it; PSTPU_GC_FOLD=1 routes eligible 'auto'
-    # layers through it on TPU (A/B knob; default decided by the measured
-    # generator/step-level table in benchmarks/probes/results/gen_r5.log).
+    # Measured (2026-08-20): generator fwd+bwd 8.72 ms folded vs 15.26 XLA
+    # vs 21.70 Pallas (gen_r5.log); full adversarial step 16.85 vs 15.78 vs
+    # 13.83 steps/s (ganstep_r5b.log) — so 'auto' takes it on TPU.
+    # backend='fold' forces it anywhere; PSTPU_GC_FOLD=0 restores plain-XLA
+    # routing for A/B sessions.
     if (backend == 'fold'
             or (backend == 'auto' and jax.default_backend() == 'tpu'
-                and _os.environ.get('PSTPU_GC_FOLD', '0') == '1')):
+                and _os.environ.get('PSTPU_GC_FOLD', '1') == '1')):
         from pytorch_sound_tpu.ops.fold_conv import (fold_conv1d_ntc,
                                                      fold_eligible)
         f = fold_eligible(cin, cout, stride, groups, t_in, k, dilation,

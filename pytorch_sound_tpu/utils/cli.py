@@ -37,6 +37,13 @@ def _convert(value: str, annotation) -> Any:
 
 
 def _call_with_argv(fn: Callable, argv: List[str]) -> Any:
+    if any(tok in ('-h', '--help') for tok in argv):
+        doc = inspect.getdoc(fn)
+        print('usage: {}{}'.format(getattr(fn, '__name__', 'command'),
+                                   str(inspect.signature(fn))))
+        if doc:
+            print(doc)
+        return None
     sig = inspect.signature(fn)
     params = list(sig.parameters.values())
     positional: List[Any] = []

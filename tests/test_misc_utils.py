@@ -46,6 +46,9 @@ def test_fire_like_class_dispatch(capsys):
     assert fire_like(Tool, ['greet', 'bob', '--excited', 'true']) == 'hi bob!'
     fire_like(Tool, [])   # help listing
     assert 'greet' in capsys.readouterr().out
+    # per-command help prints the signature instead of calling
+    assert fire_like(Tool, ['greet', '--help']) is None
+    assert 'name: str' in capsys.readouterr().out
 
 
 def test_iterer_helpers():
